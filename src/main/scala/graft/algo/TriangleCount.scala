@@ -1,0 +1,58 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact triangle counting. The reference file is an empty stub
+  * (`algo/triangle/TriangleCounting.scala:3-5`); contract = GraphX
+  * `TriangleCount` semantics (SURVEY.md §2.9): per-vertex number of triangles
+  * through it, on the canonical (deduped, loop-free) undirected edge set.
+  *
+  * Degree orientation (Suri–Vassilvitskii): orient each edge from its
+  * lower-(degree, id) endpoint to the higher one, so every out-adjacency list
+  * is O(√m) — the same hub trick as the reference's cluster-on-low-degree-
+  * endpoint edge sort (`Edge.scala:62-91`), which makes `collect_list` safe
+  * even for hubs. Each triangle is then found exactly once, at its (a,b) edge
+  * with apex c in adj(a) ∩ adj(b). Per-vertex and total counts are
+  * orientation-independent, so the id-ordered DuckDB oracle matches exactly.
+  */
+object TriangleCount {
+
+  /** Rows (a, b, c): one per triangle (each exactly once). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = graft.operators.GraphOps.degrees(e) // (vid, degree)
+    val withDeg = e
+      .join(deg.select(col("vid").as("src"), col("degree").as("dsrc")), "src")
+      .join(deg.select(col("vid").as("dst"), col("degree").as("ddst")), "dst")
+    val oriented = withDeg.select(
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")), col("src"))
+        .otherwise(col("dst")).as("a"),
+      when(struct(col("dsrc"), col("src")) < struct(col("ddst"), col("dst")), col("dst"))
+        .otherwise(col("src")).as("b"))
+    val adj = oriented.groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    oriented
+      .join(adj.select(col("a"), col("nbrs").as("na")), "a")
+      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), "b")
+      .select(col("a"), col("b"), explode(array_intersect(col("na"), col("nb"))).as("c"))
+  }
+
+  /** (vid, triangles) for every vertex in `vertices` (0 when none). */
+  def perVertex(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val tri = triangles(edges)
+    val corners = tri.select(col("a").as("vid"))
+      .union(tri.select(col("b").as("vid")))
+      .union(tri.select(col("c").as("vid")))
+    val counts = corners.groupBy("vid").agg(count(lit(1)).as("triangles"))
+    vertices.select(col("vid"))
+      .join(counts, Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+  }
+
+  def total(edges: DataFrame): Long = triangles(edges).count()
+}

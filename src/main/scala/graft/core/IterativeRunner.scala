@@ -1,0 +1,76 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+
+/** Per-iteration metrics row (the engine analog of the reference Pregel's
+  * per-superstep bookkeeping, `framework/Pregel.scala:41-48` — whose early
+  * exit was dead because `activeMessageCount` returned `BitSet.capacity`,
+  * `Graph.scala:446-455`; ours actually counts).
+  */
+final case class IterMetrics(iter: Int, activeCount: Long, wallMs: Long)
+
+/** Driver loop shared by every iterative algorithm (PageRank / CC / LPA /
+  * walks): persist-swap state management, convergence action, and lineage
+  * truncation. The per-iteration body is ONE declarative Catalyst plan
+  * (join → partial+final aggregate → join), so AQE and whole-stage codegen
+  * apply to every superstep.
+  *
+  * Lineage: each iteration's plan references the previous one; without
+  * truncation the plan tree grows linearly and the driver dies around
+  * iteration ~50. `localCheckpoint(eager)` every `truncateEvery` iterations
+  * caps it. A durable `Checkpointer` (if given) additionally writes state +
+  * lineage + metrics tables so a killed run resumes mid-convergence.
+  */
+object IterativeRunner {
+
+  final case class Result(state: DataFrame, iterations: Int, metrics: Vector[IterMetrics])
+
+  /** @param init        initial state; any schema, must contain the columns
+    *                    `step` expects.
+    * @param maxIter     hard iteration cap.
+    * @param activeCount action deciding convergence: number of still-active
+    *                    vertices in the NEW state; 0 stops the loop.
+    * @param step        (state, iter) → next state. Must be a pure Dataset
+    *                    transformation. It may reference `state` any number of
+    *                    times: the loop truncates the plan to a leaf every
+    *                    iteration, so multiple references do NOT nest
+    *                    exponentially across supersteps (a k-reference step
+    *                    would otherwise grow the logical plan k^n deep and OOM
+    *                    the driver around iteration 10 — measured, not
+    *                    hypothetical).
+    */
+  def loop(
+      init: DataFrame,
+      maxIter: Int,
+      truncateEvery: Int = 10,
+      checkpointer: Option[Checkpointer] = None)(
+      step: (DataFrame, Int) => DataFrame)(
+      activeCount: DataFrame => Long): Result = {
+
+    val startIter = checkpointer.flatMap(_.latestIter).getOrElse(0)
+    var state = checkpointer.flatMap(_.restore()).getOrElse(init)
+    // Eager localCheckpoint = materialize + replace the plan with a leaf
+    // (LogicalRDD). Storage is MEMORY_AND_DISK; superseded iterations are
+    // dropped by the ContextCleaner once unreferenced.
+    state = state.localCheckpoint(true)
+    var iter = startIter
+    val metrics = Vector.newBuilder[IterMetrics]
+    var active = 1L
+    while (iter < maxIter && active > 0) {
+      val t0 = System.nanoTime()
+      iter += 1
+      var next = step(state, iter).localCheckpoint(true)
+      if (iter % truncateEvery == 0) {
+        // durable snapshot for kill/resume (and replaces the in-memory leaf
+        // with the on-disk one, bounding recovery lineage)
+        checkpointer.foreach { cp => next = cp.save(next, iter) }
+      }
+      active = activeCount(next)
+      val m = IterMetrics(iter, active, (System.nanoTime() - t0) / 1000000L)
+      metrics += m
+      checkpointer.foreach(_.appendMetrics(m))
+      state = next
+    }
+    Result(state, iter, metrics.result())
+  }
+}

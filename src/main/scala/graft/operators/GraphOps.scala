@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.derive.LinkGraph
+
+/** Relational re-expressions of the reference's graph operator surface
+  * (SURVEY.md §2.2-2.6). Each maps a `Graph[VD,ED]` method to a declarative
+  * Dataset transform so Catalyst plans it (pushdown, partial aggregation,
+  * broadcast all come for free).
+  */
+object GraphOps {
+
+  /** `Graph.calDegree(dir=Both)` (`Graph.scala:349-385`): per-vertex count of
+    * incident edges over the canonical edge set. One explode + one partial-agg
+    * shuffle; hub skew is absorbed by map-side combine.
+    */
+  def degrees(edges: DataFrame): DataFrame =
+    LinkGraph.symmetrize(edges)
+      .groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).as("degree"))
+
+  def outDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+
+  def inDegrees(edges: DataFrame): DataFrame =
+    edges.groupBy(col("dst").as("vid")).agg(count(lit(1)).as("degree"))
+
+  /** `Graph.calValues` (`Graph.scala:387-424`): per-vertex sum of incident
+    * edge weights. */
+  def weightedDegrees(edges: DataFrame): DataFrame =
+    edges.select(col("src").as("vid"), col("weight"))
+      .union(edges.select(col("dst").as("vid"), col("weight")))
+      .groupBy("vid").agg(sum("weight").as("weight_sum"))
+
+  /** Adjacency lists (the reference's `NeighN` neighbor-table vertex attrs,
+    * `edgesWithNeighborAttrFromFile`, `GraphLoader.scala:75-134`): sorted,
+    * deduped neighbor ids per vertex. `sort_array(collect_set)` replaces the
+    * hand-written sort-merge `mergeSorted` union (`NeighN.scala:39-98`).
+    */
+  def adjacency(edges: DataFrame): DataFrame =
+    LinkGraph.symmetrize(edges)
+      .groupBy(col("src").as("vid"))
+      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+
+  /** `Graph.reverse` (`Graph.scala:322-330`). */
+  def reverse(edges: DataFrame): DataFrame =
+    edges.select(col("dst").as("src"), col("src").as("dst"), col("weight"))
+
+  /** `Graph.subgraph(vpred, epred)` (`Graph.scala:267-320`): keep edges whose
+    * endpoints satisfy `vpred` (evaluated against the vertex table) and that
+    * satisfy `epred`. Two joins + filter; Catalyst broadcasts the vertex side
+    * when small.
+    */
+  def subgraph(edges: DataFrame, vertices: DataFrame, vpred: Column, epred: Column): DataFrame = {
+    val keep = vertices.where(vpred).select(col("vid"))
+    edges.where(epred)
+      .join(keep.withColumnRenamed("vid", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("vid", "dst"), Seq("dst"), "left_semi")
+      .select("src", "dst", "weight")
+  }
+
+  /** `Graph.groupEdges(merge)` (`Graph.scala:257-265`): merge parallel edges.
+    * The reference's run-length merge misfires (compares dst against src,
+    * `EdgePartition.scala:312`); the relational form is correct by
+    * construction. */
+  def groupEdges(multiEdges: DataFrame): DataFrame =
+    multiEdges.groupBy("src", "dst").agg(sum("weight").as("weight"))
+
+  /** Triplet view (`Graph.mapTriplets`, `Graph.scala:243-254`): edge rows with
+    * both endpoint attribute rows visible. */
+  def triplets(edges: DataFrame, vertices: DataFrame): DataFrame =
+    edges
+      .join(vertices.select(col("vid").as("src"), col("key").as("src_key")), "src")
+      .join(vertices.select(col("vid").as("dst"), col("key").as("dst_key")), "dst")
+      .select("src", "dst", "weight", "src_key", "dst_key")
+
+  def numVertices(vertices: DataFrame): Long = vertices.count()
+  def numEdges(edges: DataFrame): Long = edges.count()
+
+  /** `Graph.maxVertexId`/`minVertexId` (`Graph.scala:37-45,539-551`). */
+  def vertexIdBounds(edges: DataFrame): (Long, Long) = {
+    val r = edges.agg(
+      min(least(col("src"), col("dst"))).as("mn"),
+      max(greatest(col("src"), col("dst"))).as("mx")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+}
