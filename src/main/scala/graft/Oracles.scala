@@ -182,4 +182,166 @@ object Oracles {
   val qPagerankCs: String =
     s"""WITH $csCtes, ${pagerankChain(10)}
        SELECT vid, ROUND(pr, 6) AS pr FROM r10 ORDER BY vid"""
+
+  // ---- samplers (deterministic LCG uniform, same arithmetic as
+  //      graft.functions.Samplers.detUniform) ----
+
+  private val detU =
+    "(CAST((e.src * 2654435761 + e.dst * 40503 + 7) % 1000003 + 1 AS DOUBLE) / CAST(1000004.0 AS DOUBLE))"
+
+  val qSampleUniform: String =
+    s"""WITH $graphCtes
+       SELECT src, rnk, dst FROM (
+         SELECT e.src, e.dst,
+                CAST(ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY $detU ASC, e.dst ASC) AS INTEGER) AS rnk
+         FROM edges e
+       ) x WHERE rnk <= 2 ORDER BY src, rnk"""
+
+  val qSampleWeighted: String =
+    s"""WITH $graphCtes
+       SELECT src, rnk, dst FROM (
+         SELECT e.src, e.dst,
+                CAST(ROW_NUMBER() OVER (PARTITION BY e.src
+                  ORDER BY power($detU, CAST(1.0 AS DOUBLE) / e.weight) DESC, e.dst ASC) AS INTEGER) AS rnk
+         FROM edges e
+       ) x WHERE rnk <= 2 ORDER BY src, rnk"""
+
+  // ---- text analysis over documents ----
+
+  private val toksCte =
+    "toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)"
+
+  val qTokenCount: String =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+       FROM documents ORDER BY doc_id"""
+
+  val qQuality: String = {
+    val stop = graft.text.TextStats.stopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH $toksCte, agg AS MATERIALIZED (
+         SELECT d.doc_id,
+                COUNT(t.tok) AS n_tokens,
+                COALESCE(SUM(CASE WHEN t.tok IN ($stop) THEN 1 ELSE 0 END), 0) AS n_stop,
+                SUM(length(t.tok)) AS tok_chars
+         FROM documents d LEFT JOIN toks t ON t.doc_id = d.doc_id
+         GROUP BY d.doc_id
+       )
+       SELECT d.doc_id,
+              CAST(length(d.text) AS INTEGER) AS n_chars,
+              CAST(a.n_tokens AS BIGINT) AS n_tokens,
+              ROUND(CAST(length(regexp_replace(d.text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(d.text), 6) AS punct_ratio,
+              CASE WHEN a.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE ROUND(CAST(a.n_stop AS DOUBLE) / a.n_tokens, 6) END AS stop_ratio,
+              CASE WHEN a.n_tokens = 0 THEN CAST(0 AS DOUBLE)
+                   ELSE ROUND(CAST(a.tok_chars AS DOUBLE) / a.n_tokens, 6) END AS avg_token_len
+       FROM documents d JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""
+  }
+
+  val qLangid: String = {
+    val markerValues = graft.text.TextStats.langMarkers.toSeq.sortBy(_._1)
+      .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
+    s"""WITH $toksCte,
+       markers(lang, tok) AS (VALUES $markerValues),
+       scores AS MATERIALIZED (
+         SELECT t.doc_id, m.lang, CAST(COUNT(*) AS BIGINT) AS score
+         FROM toks t JOIN markers m ON m.tok = t.tok GROUP BY t.doc_id, m.lang
+         UNION ALL
+         SELECT doc_id, 'zh',
+                CAST(length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT)
+         FROM documents
+       ),
+       best AS MATERIALIZED (
+         SELECT doc_id, lang,
+                ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
+         FROM scores WHERE score > 0
+       )
+       SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+       FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+       ORDER BY d.doc_id"""
+  }
+
+  val qFingerprint: String = {
+    val terms = (0 until 8)
+      .map(i => s"CAST(ascii(substr(md5(text), ${i + 1}, 1)) AS BIGINT) * ${1L << (7 * i)}")
+      .mkString(" + ")
+    s"""SELECT doc_id, md5(text) AS content_md5,
+       CAST(($terms) % 1000000007 AS BIGINT) AS fp
+       FROM documents ORDER BY doc_id"""
+  }
+
+  // ---- dedup over documents ----
+
+  val qDedupExact: String =
+    """WITH h AS MATERIALIZED (SELECT doc_id, md5(text) AS h FROM documents),
+       g AS MATERIALIZED (
+         SELECT h, MIN(doc_id) AS canonical_id, CAST(COUNT(*) AS BIGINT) AS group_size
+         FROM h GROUP BY h
+       )
+       SELECT a.doc_id, g.canonical_id, g.group_size
+       FROM h a JOIN g ON g.h = a.h ORDER BY a.doc_id"""
+
+  val shingleCtes: String =
+    """tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+    ), sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk) x
+    ), sizes AS MATERIALIZED (
+      SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )"""
+
+  val qNgramJaccard: String =
+    s"""WITH $shingleCtes
+       SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM (
+         SELECT i.doc_a, i.doc_b,
+                CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.doc_a
+         JOIN sizes sb ON sb.doc_id = i.doc_b
+       ) x WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b"""
+
+  // ---- similarity over embeddings ----
+
+  val embCtes: String =
+    """u AS MATERIALIZED (
+      SELECT vec_id, unnest(generate_series(1, len(embedding))) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), norms AS MATERIALIZED (
+      SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM u GROUP BY vec_id
+    )"""
+
+  val qAnnCosine: String =
+    s"""WITH $embCtes, dots AS MATERIALIZED (
+         SELECT a.vec_id AS qa, b.vec_id AS qb, SUM(a.x * b.x) AS dot
+         FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+         WHERE a.vec_id % 10 = 0
+         GROUP BY a.vec_id, b.vec_id
+       ), scored AS MATERIALIZED (
+         SELECT d.qa AS query_id, d.qb AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY d.qa
+                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.qb ASC) AS rnk
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.qa
+         JOIN norms nb ON nb.vec_id = d.qb
+       )
+       SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id
+       FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  val qEmbedDedup: String =
+    s"""WITH $embCtes, dots AS MATERIALIZED (
+         SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dot
+         FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+         GROUP BY a.vec_id, b.vec_id
+       )
+       SELECT d.va AS vec_a, d.vb AS vec_b
+       FROM dots d
+       JOIN norms na ON na.vec_id = d.va
+       JOIN norms nb ON nb.vec_id = d.vb
+       WHERE d.dot / (na.nrm * nb.nrm) >= CAST(0.45 AS DOUBLE)
+       ORDER BY vec_a, vec_b"""
 }

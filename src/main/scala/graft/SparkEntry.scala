@@ -104,7 +104,77 @@ object SparkEntry {
     }),
 
     "q_reverse" -> ((s, d) => GraphOps.reverse(graph(s, d).edges).orderBy("src", "dst")),
+
+    // ---- samplers (reference Reservoir / ARes semantics, deterministic) ----
+
+    "q_sample_uniform" -> ((s, d) =>
+      graft.functions.Samplers.uniformK(graph(s, d).edges, 2).orderBy("src", "rnk")),
+
+    "q_sample_weighted" -> ((s, d) =>
+      graft.functions.Samplers.weightedK(graph(s, d).edges, 2).orderBy("src", "rnk")),
+
+    // ---- random walks (rows-only: engine-hash-seeded draws) ----
+
+    "q_deepwalk" -> ((s, d) =>
+      graft.algo.RandomWalks.deepWalk(graph(s, d).edges, walksPerVertex = 1, pathLength = 5)
+        .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
+        .orderBy("walk_id")),
+
+    // ---- text analysis over documents ----
+
+    "q_token_count" -> ((s, d) =>
+      graft.text.TextStats.tokenCounts(docs(s, d)).orderBy("doc_id")),
+
+    "q_quality" -> ((s, d) =>
+      graft.text.TextStats.qualityScores(docs(s, d)).orderBy("doc_id")),
+
+    "q_langid" -> ((s, d) =>
+      graft.text.TextStats.langId(docs(s, d)).orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, d) =>
+      graft.text.TextStats.fingerprints(docs(s, d)).orderBy("doc_id")),
+
+    // ---- dedup ----
+
+    "q_dedup_exact" -> ((s, d) =>
+      graft.dedup.Dedup.exact(docs(s, d)).orderBy("doc_id")),
+
+    "q_ngram_jaccard" -> ((s, d) =>
+      graft.dedup.Dedup.ngramJaccard(docs(s, d), n = 3, minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_minhash_lsh" -> ((s, d) => // rows-only (xxhash64 signatures)
+      graft.dedup.Dedup.minhashLsh(docs(s, d), minJaccard = 0.5)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_simhash" -> ((s, d) => // rows-only (xxhash64 signatures)
+      graft.dedup.Dedup.simhashPairs(docs(s, d), maxHamming = 3).orderBy("doc_a", "doc_b")),
+
+    // ---- similarity search over embeddings ----
+
+    "q_ann_cosine" -> ((s, d) =>
+      graft.sim.Similarity.bruteTopK(embeds(s, d), k = 10, queryPred = col("vec_id") % 10 === 0)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")),
+
+    "q_ann_lsh" -> ((s, d) => // rows-only (bucketed scale path; recall vs brute in SimilaritySpec)
+      graft.sim.Similarity.annTopK(embeds(s, d), k = 10)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")),
+
+    "q_embed_dedup" -> ((s, d) =>
+      graft.sim.Similarity.cosinePairs(embeds(s, d), minCosine = 0.45)
+        .select("vec_a", "vec_b")
+        .orderBy("vec_a", "vec_b")),
   )
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  private def embeds(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/embeddings.parquet")
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" -> Oracles.qTranscripts,
@@ -121,6 +191,16 @@ object SparkEntry {
     "q_triangle_total" -> Oracles.qTriangleTotal,
     "q_subgraph" -> Oracles.qSubgraph,
     "q_reverse" -> Oracles.qReverse,
+    "q_sample_uniform" -> Oracles.qSampleUniform,
+    "q_sample_weighted" -> Oracles.qSampleWeighted,
+    "q_token_count" -> Oracles.qTokenCount,
+    "q_quality" -> Oracles.qQuality,
+    "q_langid" -> Oracles.qLangid,
+    "q_fingerprint" -> Oracles.qFingerprint,
+    "q_dedup_exact" -> Oracles.qDedupExact,
+    "q_ngram_jaccard" -> Oracles.qNgramJaccard,
+    "q_ann_cosine" -> Oracles.qAnnCosine,
+    "q_embed_dedup" -> Oracles.qEmbedDedup,
     // q_pagerank_conv: tolerance loop not expressible in single-pass SQL →
     // rows-only check; parity is asserted vs a power-iteration oracle in
     // src/test/scala/graft/PageRankSpec.scala.

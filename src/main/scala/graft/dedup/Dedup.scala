@@ -1,0 +1,145 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextStats
+
+/** Document deduplication operators for a large-scale training-data pipeline:
+  * exact (hash-group), n-gram Jaccard (shingle join), MinHash+LSH (the scale
+  * path: signatures → bands → bucket join → verify) and SimHash (bit
+  * signature + banded Hamming search). All shuffle keys are content hashes —
+  * uniformly distributed by construction, so no skew handling is needed
+  * beyond Spark's partial aggregation.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical id = min doc_id among byte-identical texts. */
+  def exact(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val groups = hashed.groupBy("h")
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    hashed.join(groups, "h")
+      .select(col("doc_id"), col("canonical_id"), col("group_size"))
+  }
+
+  /** Word n-gram shingles, distinct per doc. Guarded sequence: Spark's
+    * sequence(1, n-2) DESCENDS when n < 3 (unlike SQL generate_series). */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = docs.select(col("doc_id"), TextStats.tokens.as("t"))
+    val grams = when(size(col("t")) >= n,
+      transform(sequence(lit(1), size(col("t")) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(col("t"), i + j)): _*)))
+      .otherwise(array())
+    toks.select(col("doc_id"), explode(grams).as("shingle")).distinct()
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= minJaccard).
+    * |A∩B| via shingle equi-join with partial agg; |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** MinHash signatures: numHashes permutations approximated by seeded
+    * xxhash64; signature position i = min over shingles of hash_i(shingle).
+    */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(docs, n)
+    val hashes = sh.select(col("doc_id"),
+      posexplode(array((0 until numHashes).map(i => xxhash64(lit(i), col("shingle"))): _*))
+        .as(Seq("i", "h")))
+    hashes.groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
+      .select(col("doc_id"), transform(col("s"), x => x.getField("mh")).as("sig"))
+  }
+
+  /** MinHash+LSH near-dup candidates, verified with exact Jaccard.
+    * bands × rowsPerBand must equal numHashes. Candidate generation is a
+    * group-by on (band id, band hash) — docs agreeing on any band collide;
+    * the verify step computes true shingle Jaccard only for candidates.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sig = minhashSignatures(docs, n, numHashes)
+    val banded = sig.select(col("doc_id"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+        .as(Seq("band", "bh")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard (join back to shingles)
+    val sh = shingles(docs, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
+      .where(col("shingle") === col("s2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** 63-bit SimHash signature per doc (bit 63 unused: ANSI mode forbids the
+    * sign-bit shift). Token-weighted: each occurrence votes ±1 per bit. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(TextStats.tokens).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bits = toks.select(col("doc_id"), col("cnt"),
+      posexplode(array((0 until 63).map(j =>
+        shiftright(col("h"), j).bitwiseAND(1)): _*)).as(Seq("j", "bit")))
+      .select(col("doc_id"), col("j"),
+        when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")).as("vote"))
+    bits.groupBy("doc_id", "j").agg(sum(col("vote")).as("s"))
+      .select(col("doc_id"), col("j"), col("s"))
+      .groupBy("doc_id")
+      .agg(sum((0 until 63).map(j =>
+          when(col("j") === j && col("s") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: banded Hamming-distance search (4 bands of 16
+    * bits; pairs agreeing on ≥1 band are candidates → exact popcount filter).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhashSignatures(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "bh")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextStats
+
+/** Specs for the training-data pipeline operators (dedup / similarity / text):
+  * exactness vs brute-force where the op is exact, recall vs the exact
+  * baseline where the op is approximate (LSH paths).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = {
+    // deterministic corpus: long docs with unique-ish vocab per doc, planted
+    // near-dups (one word changed out of 300) and exact dups
+    val base = (0 until 40).map { i =>
+      val words = (0 until 300).map(j => s"w${(i * 997 + j * 13) % 2000}").mkString(" ")
+      (i.toLong, words)
+    }
+    val nearDup = base.take(5).map { case (i, t) =>
+      (100L + i, t.split(" ").updated(150, "CHANGED").mkString(" ")) // ~99% shingle overlap
+    }
+    val exactDup = base.take(3).map { case (i, t) => (200L + i, t) }
+    spark.createDataFrame(base ++ nearDup ++ exactDup).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups byte-identical texts under min doc_id") {
+    val got = Dedup.exact(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(200L) == (0L, 2L) && got(0L) == (0L, 2L))
+    assert(got(5L) == (5L, 1L))
+    assert(got.size == docs.count())
+  }
+
+  test("minhash LSH: verified subset of exact, full recall on high-sim pairs") {
+    val exactAll = Dedup.ngramJaccard(docs, 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.minhashLsh(docs, 3, 64, 16, 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exactAll.nonEmpty, "fixture must contain near-dups")
+    // the verify stage guarantees precision: LSH output ⊆ exact-jaccard output
+    assert(lsh.subsetOf(exactAll.keySet))
+    // 16 bands × 4 rows: P(miss | s >= 0.9) < 1e-7 — demand full recall there
+    val highSim = exactAll.filter(_._2 >= 0.9).keySet
+    assert(highSim.nonEmpty)
+    assert((highSim -- lsh).isEmpty, s"LSH missed high-sim pairs: ${highSim -- lsh}")
+  }
+
+  test("simhash: exact dups at hamming 0; near-dups closer than unrelated docs") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((0L, 200L)).contains(0), s"exact dup pair missing: $pairs")
+    assert(pairs.values.forall(_ <= 3))
+    // driver-side signature distances: planted near-dup ≪ unrelated
+    val sig = Dedup.simhashSignatures(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val near = ham(sig(0L), sig(100L))
+    val unrelated = (1 to 20).map(i => ham(sig(0L), sig(i.toLong))).min
+    assert(near < unrelated, s"near-dup hamming $near !< unrelated $unrelated")
+  }
+}
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val embeddings = {
+    // deterministic clustered vectors: 8 centers, 10 members each, dim 16
+    val rows = for {
+      c <- 0 until 8
+      m <- 0 until 10
+    } yield {
+      val rnd = new scala.util.Random(c * 1000 + m)
+      val center = Array.tabulate(16)(i => math.sin(c * 17 + i).toFloat)
+      val v = center.map(x => x + 0.1f * rnd.nextFloat())
+      ((c * 10 + m).toLong, v)
+    }
+    spark.createDataFrame(rows).toDF("vec_id", "embedding").cache()
+  }
+
+  test("brute-force top-k matches a driver-side exact computation") {
+    val got = Similarity.bruteTopK(embeddings, k = 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val vecs = embeddings.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for ((q, qv) <- vecs.toSeq.sortBy(_._1).take(10)) {
+      val exp = vecs.toSeq.filter(_._1 != q)
+        .map { case (n, nv) => (n, cos(qv, nv)) }
+        .sortBy { case (n, c) => (-c, n) }.take(3).map(_._1)
+      val gotK = (1 to 3).map(r => got((q, r)))
+      assert(gotK == exp, s"query $q: got $gotK expected $exp")
+    }
+  }
+
+  test("RP-LSH ANN has high recall@10 vs brute force on clustered data") {
+    val brute = Similarity.bruteTopK(embeddings, k = 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopK(embeddings, k = 10, numBits = 16, bandBits = 4)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"ANN recall@10 = $recall")
+  }
+
+  test("cosinePairs finds the planted clusters") {
+    val pairs = Similarity.cosinePairs(embeddings, 0.99).collect()
+    assert(pairs.nonEmpty)
+    // same-cluster ids are within 10 of each other
+    assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10))
+  }
+}
+
+class TextStatsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the cat and the dog is of no concern to the walrus"),
+    (2L, "el perro y el gato de la casa que ladra y la luna"),
+    (3L, "le chat et le chien des villes et les maisons une fois"),
+    (4L, "der hund und die katze ist nicht der feind und die freunde"),
+    (5L, "这是一个中文文档 机器学习 图计算"),
+    (6L, "zzz qqq xxx"),
+    (7L, "Punct, punct; more: punct! Yes? No. Sure,")).toDF("doc_id", "text")
+
+  test("langId detects marker languages, CJK, and falls back to und") {
+    val got = TextStats.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en" && got(2L) == "es" && got(3L) == "fr" && got(4L) == "de")
+    assert(got(5L) == "zh")
+    assert(got(6L) == "und")
+  }
+
+  test("quality scores: ratios are consistent") {
+    val r = TextStats.qualityScores(docs).where($"doc_id" === 7L).head()
+    assert(r.getAs[Double]("punct_ratio") > 0.1)
+    assert(r.getAs[Long]("n_tokens") == 7L)
+  }
+
+  test("fingerprints are deterministic and distinct for distinct texts") {
+    val a = TextStats.fingerprints(docs).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val b = TextStats.fingerprints(docs).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_._3).distinct.length == a.length)
+  }
+}
