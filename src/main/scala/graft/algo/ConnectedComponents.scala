@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.derive.LinkGraph
 
@@ -33,13 +32,13 @@ object ConnectedComponents {
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var converged = false
     var round = 0
     var sig = signature(e)
     while (!converged && round < maxRounds) {
       round += 1
-      val next = smallStar(largeStar(e).localCheckpoint(true)).localCheckpoint(true)
+      val next = smallStar(largeStar(e).localCheckpoint(false)).localCheckpoint(false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
@@ -90,11 +89,12 @@ object ConnectedComponents {
 
   /** Pregel min-label flood with frontier semi-join; cross-check for [[run]]. */
   def minPropagation(edges: DataFrame, vertices: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = LinkGraph.symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
     val init = vertices.select(col("vid"), col("vid").as("component"), lit(true).as("active"))
     val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
       val msgs = sym
-        .join(state.where(col("active")).select(col("vid").as("src"), col("component")), "src")
+        .join(state.where(col("active")).select(col("vid").as("src"), col("component"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("vid"))
         .agg(min(col("component")).as("m"))
       state.join(msgs, Seq("vid"), "left").select(

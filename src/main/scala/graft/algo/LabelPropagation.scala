@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.IterativeRunner
 import graft.derive.LinkGraph
@@ -24,11 +23,11 @@ import graft.derive.LinkGraph
 object LabelPropagation {
 
   def run(edges: DataFrame, vertices: DataFrame, iterations: Int = 5): DataFrame = {
-    val sym = LinkGraph.symmetrize(edges).persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
     val init = vertices.select(col("vid"), col("vid").as("lab"))
     val res = IterativeRunner.loop(init, iterations) { (state, _) =>
       val counts = sym
-        .join(state.select(col("vid").as("src"), col("lab")), "src")
+        .join(state.select(col("vid").as("src"), col("lab")).hint("shuffle_hash"), "src")
         .groupBy(col("dst"), col("lab"))
         .agg(count(lit(1)).as("cnt"))
       // argmax by (cnt desc, lab asc): max of struct(cnt, -lab).

@@ -43,7 +43,7 @@ object RandomWalks {
         (col("cur") * walksPerVertex + col("rep")).as("walk_id"),
         col("cur"),
         array(col("cur")).as("path"))
-    var walks = starts.localCheckpoint(true)
+    var walks = starts.localCheckpoint(false)
     for (step <- 1 until pathLength) {
       val drawn = walks.join(adj, walks("cur") === adj("src"))
         .withColumn("pick",
@@ -52,7 +52,7 @@ object RandomWalks {
               .cast("int")))
         .select(col("walk_id"), col("pick.dst").as("cur"),
           concat(col("path"), array(col("pick.dst"))).as("path"))
-      walks = drawn.localCheckpoint(true)
+      walks = drawn.localCheckpoint(false)
     }
     adj.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
@@ -85,7 +85,7 @@ object RandomWalks {
         (pmod(xxhash64(col("walk_id"), lit(1L), lit(seed)), size(col("nbrs"))) + 1).cast("int")))
       .select(col("walk_id"), col("cur").as("prev"), col("pick.dst").as("cur"),
         concat(col("path"), array(col("pick.dst"))).as("path"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     for (step <- 2 until pathLength) {
       var w = walks.join(adj, col("cur") === col("src")).drop("src")
         .join(nbrSets.withColumnRenamed("src", "prev").withColumnRenamed("nbrset", "prev_nbrs"),
@@ -110,7 +110,7 @@ object RandomWalks {
       }
       walks = w.select(col("walk_id"), col("cur").as("prev"), col("accepted").as("cur"),
           concat(col("path"), array(col("accepted"))).as("path"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
     }
     adj.unpersist(false); nbrSets.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
@@ -134,7 +134,7 @@ object RandomWalks {
     val starts = vertices.where(col("kind") === metaPath.head)
       .select(col("vid").as("walk_id"), col("vid").as("cur"), array(col("vid")).as("path"),
         lit(false).as("stopped"))
-    var walks = starts.localCheckpoint(true)
+    var walks = starts.localCheckpoint(false)
     for (step <- 1 until pathLength) {
       val wantKind = metaPath(step % metaPath.length)
       val joined = walks.join(
@@ -151,7 +151,7 @@ object RandomWalks {
             (pmod(xxhash64(col("walk_id"), lit(step.toLong), lit(seed)), size(col("nbrs"))) + 1)
               .cast("int"))))).as("path"),
         (col("stopped") || col("nbrs").isNull).as("stopped"))
-      walks = drawn.localCheckpoint(true)
+      walks = drawn.localCheckpoint(false)
     }
     adj.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))

@@ -16,10 +16,11 @@ final case class IterMetrics(iter: Int, activeCount: Long, wallMs: Long)
   * apply to every superstep.
   *
   * Lineage: each iteration's plan references the previous one; without
-  * truncation the plan tree grows linearly and the driver dies around
-  * iteration ~50. `localCheckpoint(eager)` every `truncateEvery` iterations
-  * caps it. A durable `Checkpointer` (if given) additionally writes state +
-  * lineage + metrics tables so a killed run resumes mid-convergence.
+  * truncation the plan tree grows (exponentially for multi-reference steps)
+  * and the driver dies around iteration ~10. A lazy `localCheckpoint` per
+  * iteration caps it. A durable `Checkpointer` (if given) additionally writes
+  * state + lineage + metrics tables every `truncateEvery` iterations so a
+  * killed run resumes mid-convergence.
   */
 object IterativeRunner {
 
@@ -49,17 +50,19 @@ object IterativeRunner {
 
     val startIter = checkpointer.flatMap(_.latestIter).getOrElse(0)
     var state = checkpointer.flatMap(_.restore()).getOrElse(init)
-    // Eager localCheckpoint = materialize + replace the plan with a leaf
-    // (LogicalRDD). Storage is MEMORY_AND_DISK; superseded iterations are
-    // dropped by the ContextCleaner once unreferenced.
-    state = state.localCheckpoint(true)
+    // LAZY localCheckpoint: truncates the logical plan to a leaf immediately
+    // (so multi-reference steps can't nest exponentially) but defers
+    // materialization to the convergence action — one job per superstep, not
+    // two. Storage is MEMORY_AND_DISK; superseded iterations are dropped by
+    // the ContextCleaner once unreferenced.
+    state = state.localCheckpoint(false)
     var iter = startIter
     val metrics = Vector.newBuilder[IterMetrics]
     var active = 1L
     while (iter < maxIter && active > 0) {
       val t0 = System.nanoTime()
       iter += 1
-      var next = step(state, iter).localCheckpoint(true)
+      var next = step(state, iter).localCheckpoint(false)
       if (iter % truncateEvery == 0) {
         // durable snapshot for kill/resume (and replaces the in-memory leaf
         // with the on-disk one, bounding recovery lineage)

@@ -76,6 +76,53 @@ object GraphOps {
       .join(vertices.select(col("vid").as("dst"), col("key").as("dst_key")), "dst")
       .select("src", "dst", "weight", "src_key", "dst_key")
 
+  /** `Graph.aggregateMessages[M]` (`Graph.scala:491-516`,
+    * `EdgePartition.scala:374-480`) — THE core reference op, generically:
+    * join vertex state onto each edge endpoint, evaluate message expressions
+    * toward dst and/or src, merge per vertex. Spark's hash aggregate supplies
+    * the map-side partial merge that `AggregatingEdgeContext` hand-rolls.
+    *
+    * @param state   (vid, ...attrs)
+    * @param msgToDst expression over edge + `src_`-prefixed src attrs, or null
+    * @param msgToSrc expression over edge + `dst_`-prefixed dst attrs, or null
+    * @param merge    aggregate over column `msg`, e.g. sum(col("msg"))
+    */
+  def aggregateMessages(
+      edges: DataFrame,
+      state: DataFrame,
+      msgToDst: Option[Column],
+      msgToSrc: Option[Column],
+      merge: Column): DataFrame = {
+    val srcState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"src_$c"))
+    val dstState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"dst_$c"))
+    val toDst = msgToDst.map { m =>
+      edges.join(srcState, col("src") === col("src_vid"))
+        .select(col("dst").as("vid"), m.as("msg"))
+    }
+    val toSrc = msgToSrc.map { m =>
+      edges.join(dstState, col("dst") === col("dst_vid"))
+        .select(col("src").as("vid"), m.as("msg"))
+    }
+    (toDst.toSeq ++ toSrc.toSeq).reduce(_ union _)
+      .groupBy("vid").agg(merge.as("msg"))
+  }
+
+  /** `Graph.mapVertices` / `Graph.mapEdges` (`Graph.scala:192-241`): attribute
+    * projections (new PSMatrix copies in the reference; pure selects here). */
+  def mapVertices(vertices: DataFrame, colName: String, f: Column): DataFrame =
+    vertices.withColumn(colName, f)
+
+  def mapEdges(edges: DataFrame, colName: String, f: Column): DataFrame =
+    edges.withColumn(colName, f)
+
+  /** Per-neighbor-type adjacency (the reference's `NeighTN` typed neighbor
+    * tables, `GC/core/data/NeighTN.scala:10-45`): (vid, kind, neighbors). */
+  def typedAdjacency(edges: DataFrame, vertices: DataFrame): DataFrame =
+    LinkGraph.symmetrize(edges)
+      .join(vertices.select(col("vid").as("dst"), col("kind")), "dst")
+      .groupBy(col("src").as("vid"), col("kind"))
+      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+
   def numVertices(vertices: DataFrame): Long = vertices.count()
   def numEdges(edges: DataFrame): Long = edges.count()
 
