@@ -21,9 +21,18 @@ object Bench {
     val g = LinkGraph.fromTranscripts(t)
     val edges = g.edges.persist()
     val nEdges = 2L * edges.count() // both directions processed per iteration
+    // AQE off for the superstep loop: runtime coalescing re-plans the message
+    // shuffle each iteration and breaks the static one-exchange plan
+    // (measured ~2x slower with AQE on; PLANS.md). Ad-hoc queries keep AQE.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     val t0 = System.nanoTime()
-    val res = PageRank.run(edges, tol = 1e-6, maxIter = 100)
-    res.ranks.count()
+    val res =
+      try {
+        val r = PageRank.run(edges, tol = 1e-6, maxIter = 100)
+        r.ranks.count()
+        r
+      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     val secs = (System.nanoTime() - t0) / 1e9
     edges.unpersist(false)
     (nEdges, res.iterations, secs)
@@ -36,6 +45,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,7 +56,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val (prEdges, prIters, prSecs) = pagerankHeadline(spark, nConvs = 50000L, nTools = 500)
+    // headline graph: large enough that per-superstep compute dominates the
+    // per-iteration serial floor (see BASELINE.md §c) — ~13.7M directed edges
+    val headlineConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
+    val (prEdges, prIters, prSecs) = pagerankHeadline(spark, headlineConvs, nTools = 500)
     val edgesPerSecPerIter = prEdges.toDouble * prIters / prSecs
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")

@@ -168,6 +168,18 @@ object SparkEntry {
       graft.sim.Similarity.cosinePairs(embeds(s, d), minCosine = 0.45)
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")),
+
+    "q_svdpp" -> ((s, d) => { // rows-only: SGD factors, asserted in SVDPlusPlusSpec
+      val o = s.read.parquet(s"$d/orders.parquet")
+      val l = s.read.parquet(s"$d/lineitem.parquet")
+      val ratings = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 1000000L).as("dst"),
+          (pmod(col("l_quantity").cast("long"), lit(5L)) + 1L).cast("double").as("rating"))
+      val r = graft.algo.SVDPlusPlus.run(ratings,
+        graft.algo.SVDPlusPlus.Conf(rank = 4, maxIters = 2, minVal = 1.0, maxVal = 5.0))
+      r.vertices.select(col("vid"), round(col("bias"), 6).as("bias")).orderBy("vid")
+    }),
   )
 
   private def docs(s: SparkSession, d: String): DataFrame =
