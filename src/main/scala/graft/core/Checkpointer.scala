@@ -6,40 +6,41 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.sources.{ParquetDirTableIO, TableIO}
+
 /** Durable iteration-state checkpoint with per-partition lineage and a
   * metrics log, so a killed run resumes mid-convergence (north rule). This
   * supplies what the reference left unimplemented
   * (`PSPartition.checkpoint()` is `???`, `PSPartition.scala:172`) and
   * replaces `Graph.checkpoint` (`Graph.scala:518-528`).
   *
-  * Layout (Iceberg-shaped: snapshot-per-iteration directories + an
-  * append-only manifest; in production the three tables are Iceberg appends —
-  * the format is isolated here, algorithm code never names it):
+  * Storage goes through the [[graft.sources.TableIO]] seam (Iceberg in
+  * production, Iceberg-shaped parquet directories here). Per run:
   *
-  *   <root>/<runId>/state/iter=NNNNNN/   parquet snapshot of vertex state
-  *   <root>/<runId>/lineage/iter=NNNNNN/ (partition_id, rows, checksum)
-  *   <root>/<runId>/metrics.jsonl        one line per iteration
-  *   <root>/<runId>/state/iter=NNNNNN/_COMPLETE  commit marker (atomicity:
-  *     written after both tables land, so a crash mid-write is invisible)
+  *   state/iter=NNNNNN/   vertex-state snapshot (committed LAST — a crash
+  *                        mid-write leaves no visible snapshot)
+  *   lineage/iter=NNNNNN/ (partition_id, rows, checksum, input_fingerprint)
+  *   metrics.jsonl        one line per iteration
   */
 final class Checkpointer(spark: SparkSession, root: String, runId: String) {
 
   private val base = s"$root/$runId"
+  private val io: TableIO = new ParquetDirTableIO(base)
 
-  private def iterDir(iter: Int) = f"$base/state/iter=$iter%06d"
+  private def stateTable(iter: Int) = f"state/iter=$iter%06d"
 
   def save(state: DataFrame, iter: Int): DataFrame = {
-    val dir = iterDir(iter)
-    state.write.mode("overwrite").parquet(dir)
-    val reloaded = spark.read.parquet(dir)
+    val tbl = stateTable(iter)
+    io.writeData(state, tbl)
+    val reloaded = io.read(spark, tbl)
     val hashCols = reloaded.columns.map(col).toSeq
-    reloaded
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("checksum"))
-      .withColumn("input_fingerprint", lit(runId))
-      .write.mode("overwrite").parquet(f"$base/lineage/iter=$iter%06d")
-    Files.createDirectories(Paths.get(dir))
-    Files.write(Paths.get(s"$dir/_COMPLETE"), Array.emptyByteArray)
+    io.write(
+      reloaded
+        .groupBy(spark_partition_id().as("partition_id"))
+        .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(hashCols: _*)).as("checksum"))
+        .withColumn("input_fingerprint", lit(runId)),
+      f"lineage/iter=$iter%06d")
+    io.commit(tbl) // state commit is the atomic publish point
     reloaded
   }
 
@@ -52,22 +53,9 @@ final class Checkpointer(spark: SparkSession, root: String, runId: String) {
   }
 
   /** Latest committed iteration, if any. */
-  def latestIter: Option[Int] = {
-    val stateDir = Paths.get(s"$base/state")
-    if (!Files.isDirectory(stateDir)) None
-    else {
-      val iters = Files.list(stateDir).iterator()
-      var best = -1
-      while (iters.hasNext) {
-        val p = iters.next()
-        val name = p.getFileName.toString
-        if (name.startsWith("iter=") && Files.exists(p.resolve("_COMPLETE")))
-          best = best.max(name.stripPrefix("iter=").toInt)
-      }
-      if (best >= 0) Some(best) else None
-    }
-  }
+  def latestIter: Option[Int] =
+    io.snapshots("state").lastOption.map(_.stripPrefix("state/iter=").toInt)
 
   def restore(): Option[DataFrame] =
-    latestIter.map(i => spark.read.parquet(iterDir(i)))
+    latestIter.map(i => io.read(spark, stateTable(i)))
 }

@@ -49,7 +49,7 @@ class CheckpointSpec extends SparkTestBase {
     val cp = new Checkpointer(spark, root, "r1")
     val df = Seq((1L, 2.0, true)).toDF("vid", "value", "active")
     cp.save(df, 4)
-    // simulate a torn write: directory exists but no _COMPLETE marker
+    // simulate a torn write: directory exists but no commit marker
     val torn = java.nio.file.Paths.get(s"$root/r1/state/iter=000008")
     Files.createDirectories(torn)
     assert(cp.latestIter.contains(4))
