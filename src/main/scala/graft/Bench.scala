@@ -21,18 +21,10 @@ object Bench {
     val g = LinkGraph.fromTranscripts(t)
     val edges = g.edges.persist()
     val nEdges = 2L * edges.count() // both directions processed per iteration
-    // AQE off for the superstep loop: runtime coalescing re-plans the message
-    // shuffle each iteration and breaks the static one-exchange plan
-    // (measured ~2x slower with AQE on; PLANS.md). Ad-hoc queries keep AQE.
-    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    // (IterativeRunner disables AQE inside the superstep loop itself.)
     val t0 = System.nanoTime()
-    val res =
-      try {
-        val r = PageRank.run(edges, tol = 1e-6, maxIter = 100)
-        r.ranks.count()
-        r
-      } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    val res = PageRank.run(edges, tol = 1e-6, maxIter = 100)
+    res.ranks.count()
     val secs = (System.nanoTime() - t0) / 1e9
     edges.unpersist(false)
     (nEdges, res.iterations, secs)

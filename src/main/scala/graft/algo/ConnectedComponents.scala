@@ -27,7 +27,8 @@ object ConnectedComponents {
     val spark = edges.sparkSession
     // localCheckpoint every round: each star pass references its input ~4×
     // (sym + min-join), so without per-round truncation the logical plan grows
-    // ~16^rounds and OOMs the driver by round 3.
+    // ~16^rounds and OOMs the driver by round 3. AQE off inside the loop
+    // (same rationale as IterativeRunner).
     var e = edges.select(least(col("src"), col("dst")).as("src"),
         greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
@@ -35,15 +36,19 @@ object ConnectedComponents {
       .localCheckpoint(false)
     var converged = false
     var round = 0
-    var sig = signature(e)
-    while (!converged && round < maxRounds) {
-      round += 1
-      val next = smallStar(largeStar(e).localCheckpoint(false)).localCheckpoint(false)
-      val nextSig = signature(next)
-      converged = nextSig == sig
-      sig = nextSig
-      e = next
-    }
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      var sig = signature(e)
+      while (!converged && round < maxRounds) {
+        round += 1
+        val next = smallStar(largeStar(e).localCheckpoint(false)).localCheckpoint(false)
+        val nextSig = signature(next)
+        converged = nextSig == sig
+        sig = nextSig
+        e = next
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
     // Converged state is a forest of stars (src = component min, dst = member).
     val labels = e.select(col("dst").as("vid"), col("src").as("component"))
       .union(e.select(col("src").as("vid"), col("src").as("component")))

@@ -48,6 +48,23 @@ object IterativeRunner {
       step: (DataFrame, Int) => DataFrame)(
       activeCount: DataFrame => Long): Result = {
 
+    // AQE off for the duration of the loop: adaptive re-planning of the
+    // per-superstep message shuffle defeats the static one-exchange plan and
+    // its partitioning reuse (measured ~2× slower; PLANS.md). Restored after.
+    val spark = init.sparkSession
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try loopInner(init, maxIter, truncateEvery, checkpointer)(step)(activeCount)
+    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+  }
+
+  private def loopInner(
+      init: DataFrame,
+      maxIter: Int,
+      truncateEvery: Int,
+      checkpointer: Option[Checkpointer])(
+      step: (DataFrame, Int) => DataFrame)(
+      activeCount: DataFrame => Long): Result = {
     val startIter = checkpointer.flatMap(_.latestIter).getOrElse(0)
     var state = checkpointer.flatMap(_.restore()).getOrElse(init)
     // LAZY localCheckpoint: truncates the logical plan to a leaf immediately
