@@ -54,7 +54,9 @@ object Oracles {
       SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
     )"""
 
-  /** PageRank chain: k iterations of r ← p·r + (1−p)·Σ r_u/deg(u) over sym. */
+  /** PageRank chain: k iterations of r ← p·r + (1−p)·Σ r_u/deg(u) over sym.
+    * The per-vertex contribution pr/deg is computed on the vertex side (same
+    * formulation as graft.algo.PageRank — identical doubles per term). */
   def pagerankChain(k: Int, fromVertices: String = "vertices"): String = {
     val iters = (1 to k).map { i =>
       s"""r$i AS MATERIALIZED (
@@ -62,14 +64,16 @@ object Oracles {
                CAST(0.15 AS DOUBLE) * r.pr + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
         FROM r${i - 1} r
         LEFT JOIN (
-          SELECT a.dst AS vid, SUM(p.pr * a.inv) AS s
-          FROM adj a JOIN r${i - 1} p ON p.vid = a.src
-          GROUP BY a.dst
+          SELECT s.dst AS vid, SUM(c.contrib) AS s
+          FROM sym s JOIN (
+            SELECT r2.vid, r2.pr / d.d AS contrib
+            FROM r${i - 1} r2 JOIN deg d ON d.src = r2.vid
+          ) c ON c.vid = s.src
+          GROUP BY s.dst
         ) m ON m.vid = r.vid
       )"""
     }.mkString(", ")
-    s"""deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM sym GROUP BY src),
-        adj AS MATERIALIZED (SELECT s.src, s.dst, CAST(1.0 AS DOUBLE) / d.d AS inv FROM sym s JOIN deg d ON d.src = s.src),
+    s"""deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY src),
         r0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS pr FROM $fromVertices), $iters"""
   }
 

@@ -51,11 +51,7 @@ object ScalingBench {
   private def prep(nConvs: Long, path: String): Unit = {
     val spark = session(32, 64)
     val g = LinkGraph.fromTranscripts(SyntheticTranscripts.generate(spark, nConvs, 20, 500))
-    val sym = LinkGraph.symmetrize(g.edges)
-    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
-    sym.join(deg, "src")
-      .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("inv"))
-      .write.mode("overwrite").parquet(path)
+    LinkGraph.symmetrize(g.edges).write.mode("overwrite").parquet(path)
     stop(spark)
   }
 
@@ -66,21 +62,26 @@ object ScalingBench {
 
   private def measure(cores: Int, parts: Int, adjPath: String, iters: Int): Measured = {
     val spark = session(cores, parts)
-    val adj = spark.read.parquet(adjPath).repartition(col("src")).persist()
-    val nEdges = adj.count()
-    var state = adj.select(col("src").as("vid")).distinct()
-      .select(col("vid"), lit(1.0).as("pr"))
+    // same superstep shape as graft.algo.PageRank: two-long edge pairs on the
+    // cached side, per-vertex contribution pr/deg on the state side
+    val sym = spark.read.parquet(adjPath).repartition(col("src")).persist()
+    val nEdges = sym.count()
+    var state = sym.groupBy(col("src").as("vid"))
+      .agg(count(lit(1)).cast("double").as("deg"))
+      .select(col("vid"), lit(1.0).as("pr"), col("deg"))
       .localCheckpoint(false)
     val perIter = Array.newBuilder[Double]
     for (_ <- 1 to iters) {
       val t0 = System.nanoTime()
-      val msgs = adj
-        .join(state.select(col("vid").as("src"), col("pr")).hint("shuffle_hash"), "src")
+      val msgs = sym
+        .join(state.select(col("vid").as("src"), (col("pr") / col("deg")).as("contrib"))
+          .hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("vid"))
-        .agg(sum(col("pr") * col("inv")).as("msum"))
+        .agg(sum(col("contrib")).as("msum"))
       state = state.join(msgs.hint("shuffle_hash"), Seq("vid"), "left")
         .select(col("vid"),
-          (lit(0.15) * col("pr") + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("pr"))
+          (lit(0.15) * col("pr") + lit(0.85) * coalesce(col("msum"), lit(0.0))).as("pr"),
+          col("deg"))
         .localCheckpoint(false)
       state.count()
       perIter += (System.nanoTime() - t0) / 1e9
