@@ -115,6 +115,27 @@ class SimilaritySpec extends SparkTestBase {
     // same-cluster ids are within 10 of each other
     assert(pairs.forall(r => r.getLong(0) / 10 == r.getLong(1) / 10))
   }
+
+  test("cosinePairs grid join is block-count invariant (exact, no dup/missing cells)") {
+    val base = Similarity.cosinePairs(embeddings, 0.98, blocks = 1)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (b <- Seq(3, 16, 32)) {
+      val got = Similarity.cosinePairs(embeddings, 0.98, blocks = b)
+        .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == base, s"blocks=$b diverged: extra=${got -- base} missing=${base -- got}")
+    }
+  }
+
+  test("cosinePairsLsh: precision 1.0 (subset of exact), high recall on near-dups") {
+    val exact = Similarity.cosinePairs(embeddings, 0.98)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosinePairsLsh(embeddings, 0.98)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs at 0.98")
+    assert(lsh.subsetOf(exact), s"LSH emitted non-pairs: ${lsh -- exact}")
+    val recall = (lsh intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"cosinePairsLsh recall $recall < 0.9 (missed ${exact -- lsh})")
+  }
 }
 
 class TextStatsSpec extends SparkTestBase {
