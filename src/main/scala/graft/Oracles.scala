@@ -210,6 +210,71 @@ object Oracles {
          FROM edges e
        ) x WHERE rnk <= 2 ORDER BY src, rnk"""
 
+  // ---- random walks (portable positional draws — full replay) ----
+
+  /** SQL rendering of [[graft.algo.RandomWalks.mix]]: per-(walk, step, salt)
+    * pseudo-uniform in [0, 2000003), pure integer arithmetic. */
+  def mixSql(w: String, step: Int, salt: Long): String = {
+    val c = step.toLong * 40503L + salt * 97L + 7L
+    val t = s"((($w % 1000003) * 2654435761 + $c) % 1000003)"
+    s"(($t * $t * 31 + $t * 7 + ($w % 2000003)) % 2000003)"
+  }
+
+  /** DeepWalk replay: positional index (row_number over sorted neighbors),
+    * per-step draw = mix(walk, step, seed) mod deg(cur) — bit-for-bit the
+    * engine's walk (walksPerVertex=1, pathLength=5, seed=42). */
+  val qDeepwalk: String = {
+    val steps = (1 until 5).map { s =>
+      val drawE = s"(${mixSql("w.walk_id", s, 42L)} % d.deg)"
+      s"""w${s + 1} AS MATERIALIZED (
+         SELECT w.walk_id, i.dst AS cur, w.path || ',' || CAST(i.dst AS VARCHAR) AS path
+         FROM w$s w
+         JOIN deg d ON d.src = w.cur
+         JOIN idx i ON i.src = w.cur AND i.idx = $drawE
+       )"""
+    }.mkString(", ")
+    s"""WITH $graphCtes, deg AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src
+       ), idx AS MATERIALIZED (
+         SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM sym
+       ), w1 AS MATERIALIZED (
+         SELECT src AS walk_id, src AS cur, CAST(src AS VARCHAR) AS path FROM deg
+       ), $steps
+       SELECT walk_id, walk_id AS start, path FROM w5 ORDER BY walk_id"""
+  }
+
+  /** MetaPath2Vec replay: per-(src, kind) positional index; at step s only
+    * kind metaPath(s % 2) is eligible; no eligible neighbor → walk stops
+    * (metaPath = conv,tool; pathLength=5, seed=42). */
+  val qMetapath: String = {
+    val metaPath = Seq("conv", "tool")
+    val steps = (1 until 5).map { s =>
+      val kind = metaPath(s % metaPath.length)
+      val drawE = s"(${mixSql("w.walk_id", s, 42L)} % d.deg)"
+      s"""m${s + 1} AS MATERIALIZED (
+         SELECT w.walk_id,
+                CASE WHEN w.stopped OR d.deg IS NULL THEN w.cur ELSE i.dst END AS cur,
+                CASE WHEN w.stopped OR d.deg IS NULL THEN w.path
+                     ELSE w.path || ',' || CAST(i.dst AS VARCHAR) END AS path,
+                (w.stopped OR d.deg IS NULL) AS stopped
+         FROM m$s w
+         LEFT JOIN kdeg d ON d.src = w.cur AND d.kind = '$kind'
+         LEFT JOIN kidx i ON i.src = w.cur AND i.kind = '$kind' AND i.idx = $drawE
+       )"""
+    }.mkString(", ")
+    s"""WITH $graphCtes, kidx AS MATERIALIZED (
+         SELECT s.src, v.kind, s.dst,
+                ROW_NUMBER() OVER (PARTITION BY s.src, v.kind ORDER BY s.dst) - 1 AS idx
+         FROM sym s JOIN vertices v ON v.vid = s.dst
+       ), kdeg AS MATERIALIZED (
+         SELECT src, kind, CAST(COUNT(*) AS BIGINT) AS deg FROM kidx GROUP BY src, kind
+       ), m1 AS MATERIALIZED (
+         SELECT vid AS walk_id, vid AS cur, CAST(vid AS VARCHAR) AS path, FALSE AS stopped
+         FROM vertices WHERE kind = '${metaPath.head}'
+       ), $steps
+       SELECT walk_id, walk_id AS start, path FROM m5 ORDER BY walk_id"""
+  }
+
   // ---- text analysis over documents ----
 
   private val toksCte =
@@ -308,6 +373,70 @@ object Oracles {
          JOIN sizes sb ON sb.doc_id = i.doc_b
        ) x WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b"""
 
+  /** MinHash+LSH: recomputes the portable md5-nibble shingle fingerprints,
+    * the 64 universal hashes (same a_i/b_i coefficients from
+    * [[graft.functions.PortableHash]]), the 16 polynomial band hashes, the
+    * banded candidate join, and the exact-Jaccard verify — bit-for-bit the
+    * engine's arithmetic. */
+  val qMinhashLsh: String = {
+    import graft.functions.PortableHash.{P, aCoef, bCoef, md5Pack60Sql}
+    val h60 = md5Pack60Sql("shingle")
+    val minCols = (0 until 64)
+      .map(i => s"MIN((${aCoef(i)} * fp + ${bCoef(i)}) % $P) AS mh$i").mkString(", ")
+    val bandSelects = (0 until 16).map { b =>
+      val bh = (0 until 4).foldLeft("0")((acc, r) => s"(($acc * 1009 + mh${b * 4 + r}) % $P)")
+      s"SELECT doc_id, $b AS band, $bh AS bh FROM mins"
+    }.mkString(" UNION ALL ")
+    s"""WITH $shingleCtes, fps AS MATERIALIZED (
+         SELECT doc_id, $h60 % $P AS fp FROM sh
+       ), mins AS MATERIALIZED (
+         SELECT doc_id, $minCols FROM fps GROUP BY doc_id
+       ), bands AS MATERIALIZED ( $bandSelects
+       ), cand AS MATERIALIZED (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2
+       )
+       SELECT c.doc_a, c.doc_b,
+              ROUND(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+       FROM cand c
+       JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       JOIN sizes sa ON sa.doc_id = c.doc_a
+       JOIN sizes sb ON sb.doc_id = c.doc_b
+       WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.5 AS DOUBLE)
+       ORDER BY c.doc_a, c.doc_b"""
+  }
+
+  /** SimHash: portable 60-bit token hash, 60 conditional-sum bit votes,
+    * 4×15-bit banded Hamming candidate join, popcount filter. */
+  val qSimhash: String = {
+    import graft.functions.PortableHash.md5Pack60Sql
+    val h60 = md5Pack60Sql("tok")
+    val voteCols = (0 until 60)
+      .map(j => s"SUM(CASE WHEN ((h >> $j) & 1) = 1 THEN cnt ELSE -cnt END) AS v$j").mkString(", ")
+    val sigExpr = (0 until 60)
+      .map(j => s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)").mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash >> ${b * 15}) & 32767 AS bh FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $toksCte, tc AS MATERIALIZED (
+         SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY doc_id, tok
+       ), th AS MATERIALIZED (
+         SELECT doc_id, cnt, $h60 AS h FROM tc
+       ), votes AS MATERIALIZED (
+         SELECT doc_id, $voteCols FROM th GROUP BY doc_id
+       ), sig AS MATERIALIZED (
+         SELECT doc_id, $sigExpr AS simhash FROM votes
+       ), bands AS MATERIALIZED ( $bandSelects
+       ), pairs AS MATERIALIZED (
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2, 3
+       )
+       SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b"""
+  }
+
   // ---- similarity over embeddings ----
 
   val embCtes: String =
@@ -325,6 +454,50 @@ object Oracles {
          FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
          WHERE a.vec_id % 10 = 0
          GROUP BY a.vec_id, b.vec_id
+       ), scored AS MATERIALIZED (
+         SELECT d.qa AS query_id, d.qb AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY d.qa
+                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.qb ASC) AS rnk
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.qa
+         JOIN norms nb ON nb.vec_id = d.qb
+       )
+       SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id
+       FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk"""
+
+  /** RP-LSH ANN: recomputes the portable hyperplane components (same squared
+    * mixing as [[graft.sim.Similarity.planeComponent]], with u.i 1-based),
+    * the sign-of-projection band values, the banded candidate join, and the
+    * exact-cosine top-10 window. */
+  val qAnnLsh: String =
+    s"""WITH $embCtes, planes AS MATERIALIZED (
+         SELECT j, i,
+                CAST(((t * t * 31 + t * 7 + j) % 2000003) AS DOUBLE)
+                  / CAST(1000001.5 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS comp
+         FROM (
+           SELECT j, i, (j * 40503 + (i - 1) * 2654435761 + 7) % 1000003 AS t
+           FROM generate_series(0, 15) t1(j), generate_series(1, 256) t2(i)
+         )
+       ), proj AS MATERIALIZED (
+         SELECT u.vec_id, p.j, SUM(u.x * p.comp) AS proj
+         FROM u JOIN planes p ON p.i = u.i GROUP BY u.vec_id, p.j
+       ), banded AS MATERIALIZED (
+         SELECT vec_id, j // 4 AS band,
+                SUM(CASE WHEN proj > 0
+                    THEN (CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)
+                    ELSE 0 END) AS bh
+         FROM proj GROUP BY vec_id, j // 4
+       ), cand AS MATERIALIZED (
+         SELECT a.vec_id AS qa, b.vec_id AS qb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bh = b.bh AND a.vec_id <> b.vec_id
+         GROUP BY 1, 2
+       ), dots AS MATERIALIZED (
+         SELECT c.qa, c.qb, SUM(ua.x * ub.x) AS dot
+         FROM cand c
+         JOIN u ua ON ua.vec_id = c.qa
+         JOIN u ub ON ub.vec_id = c.qb AND ub.i = ua.i
+         GROUP BY c.qa, c.qb
        ), scored AS MATERIALIZED (
          SELECT d.qa AS query_id, d.qb AS neighbor_id,
                 ROW_NUMBER() OVER (PARTITION BY d.qa

@@ -113,12 +113,24 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) =>
       graft.functions.Samplers.weightedK(graph(s, d).edges, 2).orderBy("src", "rnk")),
 
-    // ---- random walks (rows-only: engine-hash-seeded draws) ----
+    // ---- random walks (portable positional draws → full oracle replay) ----
 
     "q_deepwalk" -> ((s, d) =>
       graft.algo.RandomWalks.deepWalk(graph(s, d).edges, walksPerVertex = 1, pathLength = 5)
         .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
         .orderBy("walk_id")),
+
+    "q_node2vec" -> ((s, d) => // rows-only: bounded-rejection accept chain not SQL-replayed
+      graft.algo.RandomWalks.node2vec(graph(s, d).edges, p = 0.5, q = 2.0, pathLength = 5)
+        .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
+        .orderBy("walk_id")),
+
+    "q_metapath" -> ((s, d) => {
+      val g = graph(s, d)
+      graft.algo.RandomWalks.metaPath2Vec(g.edges, g.vertices, Seq("conv", "tool"), pathLength = 5)
+        .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
+        .orderBy("walk_id")
+    }),
 
     // ---- text analysis over documents ----
 
@@ -144,12 +156,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
-    "q_minhash_lsh" -> ((s, d) => // rows-only (xxhash64 signatures)
+    "q_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(docs(s, d), minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
-    "q_simhash" -> ((s, d) => // rows-only (xxhash64 signatures)
+    "q_simhash" -> ((s, d) =>
       graft.dedup.Dedup.simhashPairs(docs(s, d), maxHamming = 3).orderBy("doc_a", "doc_b")),
 
     // ---- similarity search over embeddings ----
@@ -159,7 +171,7 @@ object SparkEntry {
         .select("query_id", "rnk", "neighbor_id")
         .orderBy("query_id", "rnk")),
 
-    "q_ann_lsh" -> ((s, d) => // rows-only (bucketed scale path; recall vs brute in SimilaritySpec)
+    "q_ann_lsh" -> ((s, d) => // bucketed scale path; recall vs brute in SimilaritySpec
       graft.sim.Similarity.annTopK(embeds(s, d), k = 10)
         .select("query_id", "rnk", "neighbor_id")
         .orderBy("query_id", "rnk")),
@@ -205,13 +217,18 @@ object SparkEntry {
     "q_reverse" -> Oracles.qReverse,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
+    "q_deepwalk" -> Oracles.qDeepwalk,
+    "q_metapath" -> Oracles.qMetapath,
     "q_token_count" -> Oracles.qTokenCount,
     "q_quality" -> Oracles.qQuality,
     "q_langid" -> Oracles.qLangid,
     "q_fingerprint" -> Oracles.qFingerprint,
     "q_dedup_exact" -> Oracles.qDedupExact,
     "q_ngram_jaccard" -> Oracles.qNgramJaccard,
+    "q_minhash_lsh" -> Oracles.qMinhashLsh,
+    "q_simhash" -> Oracles.qSimhash,
     "q_ann_cosine" -> Oracles.qAnnCosine,
+    "q_ann_lsh" -> Oracles.qAnnLsh,
     "q_embed_dedup" -> Oracles.qEmbedDedup,
     // q_pagerank_conv: tolerance loop not expressible in single-pass SQL →
     // rows-only check; parity is asserted vs a power-iteration oracle in

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextStats
@@ -52,19 +52,29 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** MinHash signatures: numHashes permutations approximated by seeded
-    * xxhash64; signature position i = min over shingles of hash_i(shingle).
-    */
+  /** MinHash signatures: numHashes universal-hash "permutations"
+    * (a_i·fp + b_i mod P over a portable md5-derived shingle fingerprint —
+    * the textbook scheme, oracle-recomputable); signature position i = min
+    * over shingles of hash_i(shingle). ONE aggregate with numHashes min
+    * columns — no per-hash row explosion (the previous posexplode form
+    * shuffled 64× the shingle count). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    import graft.functions.PortableHash
     val sh = shingles(docs, n)
-    val hashes = sh.select(col("doc_id"),
-      posexplode(array((0 until numHashes).map(i => xxhash64(lit(i), col("shingle"))): _*))
-        .as(Seq("i", "h")))
-    hashes.groupBy("doc_id", "i").agg(min(col("h")).as("mh"))
-      .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("i"), col("mh")))).as("s"))
-      .select(col("doc_id"), transform(col("s"), x => x.getField("mh")).as("sig"))
+    val fps = sh.select(col("doc_id"), PortableHash.md5PackMod(col("shingle")).as("fp"))
+    val aggs = (0 until numHashes).map(i =>
+      min(PortableHash.universal(i, col("fp"))).as(s"mh$i"))
+    fps.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
   }
+
+  /** Band hash over signature positions [b·rows, (b+1)·rows): polynomial fold
+    * mod P — portable, same arithmetic in the oracle. */
+  private def bandHash(b: Int, rows: Int): Column =
+    (0 until rows).foldLeft(lit(0L)) { (acc, r) =>
+      pmod(acc * lit(1009L) + element_at(col("sig"), b * rows + r + 1),
+        lit(graft.functions.PortableHash.P))
+    }
 
   /** MinHash+LSH near-dup candidates, verified with exact Jaccard.
     * bands × rowsPerBand must equal numHashes. Candidate generation is a
@@ -81,8 +91,7 @@ object Dedup {
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, n, numHashes)
     val banded = sig.select(col("doc_id"),
-      posexplode(array((0 until bands).map(b =>
-        xxhash64(lit(b) +: (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1)): _*)): _*))
+      posexplode(array((0 until bands).map(b => bandHash(b, rows)): _*))
         .as(Seq("band", "bh")))
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -106,33 +115,33 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
-  /** 63-bit SimHash signature per doc (bit 63 unused: ANSI mode forbids the
-    * sign-bit shift). Token-weighted: each occurrence votes ±1 per bit. */
+  /** 60-bit SimHash signature per doc, token-weighted (each occurrence votes
+    * ±1 per bit). The token hash is the portable 60-bit md5-nibble pack, so
+    * the DuckDB oracle recomputes signatures exactly. ONE aggregate with 60
+    * conditional-sum vote columns — no per-bit row explosion (the previous
+    * posexplode form shuffled 63× the (doc,token) count). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
+    import graft.functions.PortableHash
     val toks = docs.select(col("doc_id"), explode(TextStats.tokens).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bits = toks.select(col("doc_id"), col("cnt"),
-      posexplode(array((0 until 63).map(j =>
-        shiftright(col("h"), j).bitwiseAND(1)): _*)).as(Seq("j", "bit")))
-      .select(col("doc_id"), col("j"),
-        when(col("bit") === 1, col("cnt")).otherwise(-col("cnt")).as("vote"))
-    bits.groupBy("doc_id", "j").agg(sum(col("vote")).as("s"))
-      .select(col("doc_id"), col("j"), col("s"))
-      .groupBy("doc_id")
-      .agg(sum((0 until 63).map(j =>
-          when(col("j") === j && col("s") > 0, lit(1L << j)).otherwise(0L))
-        .reduce(_ + _)).as("simhash"))
+      .withColumn("h", PortableHash.md5Pack60(col("tok")))
+    val votes = (0 until 60).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j"))
+    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: banded Hamming-distance search (4 bands of 16
+  /** SimHash near-dup pairs: banded Hamming-distance search (4 bands of 15
     * bits; pairs agreeing on ≥1 band are candidates → exact popcount filter).
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(docs)
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "bh")))
+        shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("band", "bh")))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

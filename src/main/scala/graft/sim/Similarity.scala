@@ -75,19 +75,34 @@ object Similarity {
     u / 1000001.5 - 1.0
   }
 
+  /** [[planeComponent]] as a column expression over the 0-based dim index. */
+  private def planeComponentCol(j: Int, i0: Column): Column = {
+    val t = pmod(lit(j.toLong * 40503L + 7L) + i0 * lit(2654435761L), lit(1000003L))
+    val u = pmod(t * t * lit(31L) + t * lit(7L) + lit(j.toLong), lit(2000003L))
+    u / lit(1000001.5) - lit(1.0)
+  }
+
   /** Sign-of-projection bit signature (numBits ≤ 63 hyperplanes), packed into
-    * one long. Plane components are compile-time literals — the per-plane
-    * projection is a flat codegen'd sum, not a per-row higher-order eval. */
+    * one long: (vec_id, nrm, rp_sig). Projections are numBits sum-aggregates
+    * over the posexploded embedding — the explode keeps a vector's rows
+    * co-located, so the partial aggregate finishes each group map-side and
+    * the exchange carries one row per vector. (A flat numBits×dim expression
+    * tree is NOT codegen-able: a single ~1024-term tree overflows janino's
+    * 64 KB method limit and silently falls back to interpreted eval; the
+    * aggregate form keeps every generated method small AND gives a hard
+    * optimizer barrier so the signature projection can't be re-inlined.) */
   def rpSignatures(embeddings: DataFrame, numBits: Int = 16): DataFrame = {
     require(numBits > 0 && numBits <= 63, "packed long signature: 1..63 bits")
-    val dim = embDim(embeddings)
-    val v = flat(embeddings, dim)
-    val sig = (0 until numBits).map { j =>
-      val proj = (0 until dim).map(i => col(s"x$i") * lit(planeComponent(j, i))).reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(0L)
-    }.reduce(_ + _)
-    v.select((col("vec_id") +: col("nrm") +: (0 until dim).map(i => col(s"x$i")) :+
-      sig.as("rp_sig")): _*)
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0").cast("long").as("i0"), col("xf").cast("double").as("x"))
+    val projAggs = (0 until numBits).map(j =>
+      sum(col("x") * planeComponentCol(j, col("i0"))).as(s"proj$j"))
+    val aggs = sqrt(sum(col("x") * col("x"))).as("nrm") +: projAggs
+    val sig = (0 until numBits)
+      .map(j => when(col(s"proj$j") > 0, lit(1L << j)).otherwise(0L)).reduce(_ + _)
+    ex.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("vec_id"), col("nrm"), sig.as("rp_sig"))
   }
 
   /** ANN top-k: candidates = pairs sharing any band of the RP signature
@@ -102,21 +117,27 @@ object Similarity {
     require(numBits % bandBits == 0)
     val bands = numBits / bandBits
     val dim = embDim(embeddings)
-    val v = rpSignatures(embeddings, numBits)
-    val banded = v.select((Seq(col("vec_id"), col("nrm"),
+    // skinny banding: only (vec_id, band, bh) travels through the bucket
+    // self-join; embeddings re-join by vec_id for the exact-cosine verify
+    val banded = rpSignatures(embeddings, numBits).select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
-        .as(Seq("band", "bh"))) ++ (0 until dim).map(i => col(s"x$i"))): _*)
+        .as(Seq("band", "bh")))
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
+      .distinct()
+    val v = flat(embeddings, dim)
+    val scored = cand
+      .join(v.as("a"), col("query_id") === col("a.vec_id"))
+      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
         (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .groupBy("query_id", "neighbor_id").agg(min(col("cosine")).as("cosine"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    cand.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
@@ -183,18 +204,22 @@ object Similarity {
     require(numBits % bandBits == 0)
     val bands = numBits / bandBits
     val dim = embDim(embeddings)
-    val v = rpSignatures(embeddings, numBits)
-    val banded = v.select((Seq(col("vec_id"), col("nrm"),
+    val banded = rpSignatures(embeddings, numBits).select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
-        .as(Seq("band", "bh"))) ++ (0 until dim).map(i => col(s"x$i"))): _*)
-    banded.as("a")
+        .as(Seq("band", "bh")))
+    val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val v = flat(embeddings, dim)
+    cand
+      .join(v.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(v.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
         (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-      .groupBy("vec_a", "vec_b").agg(min(col("cosine")).as("cosine"))
       .where(col("cosine") >= minCosine)
   }
 }

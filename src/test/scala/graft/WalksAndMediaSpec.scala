@@ -34,6 +34,57 @@ class RandomWalksSpec extends SparkTestBase {
     }
   }
 
+  test("node2vec transition distribution matches the normalized rejection scheme") {
+    // graph where cur=1 with prev=0 has all three d(prev,x) classes:
+    //   back: 0 (d=0)   common: 2 (0-2 is an edge, d=1)   out: 3 (d=2)
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (0L, 2L, 1L))
+      .toDF("src", "dst", "weight")
+    val (p, q, attempts) = (0.5, 4.0, 4)
+    // exact per-class probability of the bounded rejection sampler:
+    // uniform candidate (deg 3), accept a_c = (1/{p,1,q})/top, forced last draw
+    val top = math.max(1.0, math.max(1.0 / p, 1.0 / q))
+    val a = Map(0L -> 1.0 / p / top, 2L -> 1.0 / top, 3L -> 1.0 / q / top)
+    val r = 1.0 - a.values.sum / 3.0
+    val geo = (0 until attempts - 1).map(t => math.pow(r, t)).sum
+    val forced = math.pow(r, attempts - 1)
+    val expected = a.map { case (c, ac) => c -> (ac * geo / 3.0 + forced / 3.0) }
+    // under the pre-fix unnormalized scheme P(back)=P(common)=0.443 — this
+    // spec rejects it (expected here: back 0.588, common 0.310, out 0.102)
+    val walks = RandomWalks.node2vec(edges, p = p, q = q, walksPerVertex = 3000,
+      pathLength = 6, attempts = attempts)
+      .collect().map(_.getSeq[Long](2).toList)
+    val nexts = walks.flatMap(_.sliding(3).collect {
+      case List(0L, 1L, x) => x
+    })
+    assert(nexts.length > 2000, s"need samples through (prev=0,cur=1), got ${nexts.length}")
+    val emp = nexts.groupBy(identity).view.mapValues(_.length.toDouble / nexts.length).toMap
+    for ((c, exp) <- expected) {
+      val e = emp.getOrElse(c, 0.0)
+      assert(math.abs(e - exp) < 0.04, f"class $c: empirical $e%.3f vs expected $exp%.3f")
+    }
+  }
+
+  test("deepWalk is hub-safe: star graph with a 300k-degree hub") {
+    // the round-1 collect_list adjacency made the hub one giant array row;
+    // the positional index keeps it 300k ordinary rows. Walks must complete
+    // and alternate hub/leaf.
+    val n = 300000L
+    val spark2 = spark
+    import spark2.implicits._
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1L).as("weight"))
+    val walks = RandomWalks.deepWalk(edges, walksPerVertex = 1, pathLength = 4).cache()
+    assert(walks.count() == n + 1)
+    val p = (i: Int) => element_at(col("path"), i)
+    val badLeafStarts = walks.where(col("start") =!= 0L)
+      .where(p(2) =!= 0L || p(3) === 0L || p(4) =!= 0L).count()
+    val badHubStarts = walks.where(col("start") === 0L)
+      .where(p(2) === 0L || p(3) =!= 0L || p(4) === 0L).count()
+    walks.unpersist()
+    assert(badLeafStarts == 0L && badHubStarts == 0L)
+  }
+
   test("metaPath2Vec alternates vertex kinds per the meta path") {
     val g = GraphFixture.graph
     val kinds = g.vertices.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
