@@ -43,10 +43,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // a failed query records NEGATIVE elapsed time (and lands in "failed"):
+    // a crash must not be indistinguishable from a fast success in the JSON
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val secs = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) secs else -secs)
     }
     // headline graph: large enough that per-superstep compute dominates the
     // per-iteration serial floor (see BASELINE.md §c) — ~13.7M directed edges
@@ -55,9 +62,10 @@ object Bench {
     val edgesPerSecPerIter = prEdges.toDouble * prIters / prSecs
 
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
+    val total = results.map { case (_, v) => math.abs(v) }.sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","pagerank":{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f},"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pagerank":{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f},"cpus":$cpus}""")
     spark.stop()
   }
 }

@@ -67,7 +67,9 @@ object SparkEntry {
         .orderBy("vid")),
 
     "q_pagerank_conv" -> ((s, d) =>
-      PageRank.run(graph(s, d).edges, tol = 1e-6, maxIter = 100).ranks.orderBy("vid")),
+      PageRank.run(graph(s, d).edges, tol = 1e-6, maxIter = 100).ranks
+        .select(col("vid"), round(col("pr"), 6).as("pr"))
+        .orderBy("vid")),
 
     "q_pagerank_cs" -> ((s, d) =>
       PageRank.runFixed(csGraph(s, d).edges, iterations = 10)
@@ -230,8 +232,18 @@ object SparkEntry {
     "q_ann_cosine" -> Oracles.qAnnCosine,
     "q_ann_lsh" -> Oracles.qAnnLsh,
     "q_embed_dedup" -> Oracles.qEmbedDedup,
-    // q_pagerank_conv: tolerance loop not expressible in single-pass SQL →
-    // rows-only check; parity is asserted vs a power-iteration oracle in
-    // src/test/scala/graft/PageRankSpec.scala.
+    // q_pagerank_conv: the tolerance loop's iteration count is data-dependent,
+    // so its oracle is generated at Verify time — see dynamicOracleSql.
   )
+
+  /** Oracles that depend on engine state at the driver's scale factor:
+    * q_pagerank_conv runs the tolerance loop, reads the converged iteration
+    * count n, and emits the exact n-step DuckDB recurrence chain. Verify
+    * merges this over [[oracleSql]] before dumping oracle_sql.json. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
+    val n = PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations
+    Map("q_pagerank_conv" ->
+      s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
+         SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""")
+  }
 }

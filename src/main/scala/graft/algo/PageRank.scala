@@ -21,9 +21,9 @@ import graft.derive.LinkGraph
   *
   * Execution shape per iteration — one Catalyst plan:
   *   contribs = adj ⋈ ranks on src   (adj cached + hash-partitioned by src
-  *                                    once; the rank side is the small one and
-  *                                    broadcasts while it fits, sort-merges
-  *                                    beyond that)
+  *                                    once; the rank side is shuffle-hash by
+  *                                    hint — NEVER broadcast, see step() —
+  *                                    so only the vertex-sized side moves)
   *   msgs     = contribs groupBy dst agg sum   (partial map-side combine makes
   *                                    hub skew a non-issue for sums — the
   *                                    Spark answer to the reference's
@@ -49,10 +49,21 @@ object PageRank {
   private def symCache(edges: DataFrame): DataFrame =
     graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
 
-  /** Per-vertex degree over the symmetrized edge set, for the init state. */
-  private def initState(sym: DataFrame): DataFrame =
-    sym.groupBy(col("src").as("vid")).agg(count(lit(1)).cast("double").as("deg"))
-      .select(col("vid"), lit(1.0).as("pr"), col("deg"), lit(true).as("active"))
+  /** Per-vertex degree over the symmetrized edge set, for the init state.
+    * With `vertices` supplied, isolated (degree-0) vertices are seeded too —
+    * they keep rank resetProb·prᵢ₋₁ (contrib guard in step()) and match the
+    * oracle's r0-from-vertices seeding; without it the vertex set is derived
+    * from the edges (safe whenever every vertex has an edge, as the
+    * link-graph derivation guarantees). */
+  private def initState(sym: DataFrame, vertices: Option[DataFrame]): DataFrame = {
+    val degs = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).cast("double").as("deg"))
+    val base = vertices match {
+      case Some(v) => v.select(col("vid")).join(degs, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("deg"), lit(0.0)).as("deg"))
+      case None => degs
+    }
+    base.select(col("vid"), lit(1.0).as("pr"), col("deg"), lit(true).as("active"))
+  }
 
   /** Tolerance-driven run (the north-rule semantics). */
   def run(
@@ -60,9 +71,10 @@ object PageRank {
       resetProb: Double = 0.15,
       tol: Double = 1e-6,
       maxIter: Int = 100,
-      checkpointer: Option[Checkpointer] = None): Result = {
+      checkpointer: Option[Checkpointer] = None,
+      vertices: Option[DataFrame] = None): Result = {
     val sym = symCache(edges)
-    val res = IterativeRunner.loop(initState(sym), maxIter, checkpointer = checkpointer) {
+    val res = IterativeRunner.loop(initState(sym, vertices), maxIter, checkpointer = checkpointer) {
       (state, _) => step(sym, state, resetProb, tol)
     } { next => next.where(col("active")).count() }
     sym.unpersist(false)
@@ -70,9 +82,13 @@ object PageRank {
   }
 
   /** Fixed-iteration run (oracle-parity variant; no convergence action). */
-  def runFixed(edges: DataFrame, iterations: Int, resetProb: Double = 0.15): DataFrame = {
+  def runFixed(
+      edges: DataFrame,
+      iterations: Int,
+      resetProb: Double = 0.15,
+      vertices: Option[DataFrame] = None): DataFrame = {
     val sym = symCache(edges)
-    val res = IterativeRunner.loop(initState(sym), iterations) { (state, _) =>
+    val res = IterativeRunner.loop(initState(sym, vertices), iterations) { (state, _) =>
       step(sym, state, resetProb, tol = 0.0)
     } { _ => 1L } // no early exit: run exactly `iterations` supersteps
     sym.unpersist(false)
@@ -85,7 +101,8 @@ object PageRank {
     * hash-partitioned on src, only the vertex-sized side shuffles. */
   private def step(sym: DataFrame, state: DataFrame, resetProb: Double, tol: Double): DataFrame = {
     val msgs = sym
-      .join(state.select(col("vid").as("src"), (col("pr") / col("deg")).as("contrib"))
+      .join(state.select(col("vid").as("src"),
+          when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0)).as("contrib"))
         .hint("shuffle_hash"), "src")
       .groupBy(col("dst").as("vid"))
       .agg(sum(col("contrib")).as("msum"))

@@ -93,6 +93,8 @@ object GraphOps {
       msgToDst: Option[Column],
       msgToSrc: Option[Column],
       merge: Column): DataFrame = {
+    require(msgToDst.nonEmpty || msgToSrc.nonEmpty,
+      "aggregateMessages: at least one message direction required")
     val srcState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"src_$c"))
     val dstState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"dst_$c"))
     val toDst = msgToDst.map { m =>

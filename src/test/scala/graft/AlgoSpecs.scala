@@ -38,6 +38,19 @@ class PageRankSpec extends SparkTestBase {
     assert(res.metrics.nonEmpty && res.metrics.last.activeCount == 0)
   }
 
+  test("PageRank seeds isolated vertices when a vertex table is supplied") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
+    val vertices = Seq(1L, 2L, 99L).toDF("vid") // 99 has no edges
+    val got = PageRank.runFixed(edges, iterations = 3, vertices = Some(vertices))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 99L))
+    // isolated vertex: r_k = 0.15 * r_{k-1}, r_0 = 1
+    assert(math.abs(got(99L) - math.pow(0.15, 3)) < 1e-12)
+    // the 1-2 pair is symmetric: each vertex's msum = the other's rank → both stay 1
+    assert(math.abs(got(1L) - 1.0) < 1e-12 && math.abs(got(2L) - 1.0) < 1e-12)
+  }
+
   test("fixed-iteration PageRank matches 10-step power iteration") {
     val got = PageRank.runFixed(GraphFixture.graph.edges, 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
