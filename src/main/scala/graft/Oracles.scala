@@ -161,6 +161,66 @@ object Oracles {
     s"""WITH $graphCtes
        SELECT dst AS src, src AS dst, weight FROM edges ORDER BY src, dst"""
 
+  val qWeightedDegree: String =
+    s"""WITH $graphCtes, wsym AS MATERIALIZED (
+         SELECT src AS vid, weight FROM edges
+         UNION ALL
+         SELECT dst AS vid, weight FROM edges
+       )
+       SELECT vid, CAST(SUM(weight) AS BIGINT) AS weight_sum
+       FROM wsym GROUP BY vid ORDER BY vid"""
+
+  val qTriplets: String =
+    s"""WITH $graphCtes
+       SELECT e.src, e.dst, e.weight, v1.key AS src_key, v2.key AS dst_key
+       FROM edges e
+       JOIN vertices v1 ON v1.vid = e.src
+       JOIN vertices v2 ON v2.vid = e.dst
+       ORDER BY e.src, e.dst"""
+
+  val qTypedAdjacency: String =
+    s"""WITH $graphCtes
+       SELECT s.src AS vid, v.kind,
+              string_agg(CAST(s.dst AS VARCHAR), ',' ORDER BY s.dst) AS neighbors
+       FROM (SELECT DISTINCT src, dst FROM sym) s
+       JOIN vertices v ON v.vid = s.dst
+       GROUP BY s.src, v.kind ORDER BY vid, kind"""
+
+  /** groupEdges over per-event multi-edges must reproduce the canonical
+    * conv→tool weighted arm of the edge derivation. */
+  val qGroupEdges: String =
+    s"""WITH $graphCtes
+       SELECT v1.vid AS src, v2.vid AS dst, CAST(c.w AS BIGINT) AS weight
+       FROM convtool c
+       JOIN vertices v1 ON v1.key = 'conv:' || c.conv_id
+       JOIN vertices v2 ON v2.key = 'tool:' || c.tool
+       ORDER BY src, dst"""
+
+  val qMergeLabels: String =
+    s"""WITH $graphCtes
+       SELECT v.vid, v.key, v.kind,
+              CASE WHEN v.vid % 3 = 0 THEN v.vid % 7 ELSE NULL END AS label
+       FROM vertices v ORDER BY v.vid"""
+
+  /** Text edge-list loader parity: whole-line read (ctrl-A delim), comment /
+    * blank / self-loop filters, whitespace split, optional 3rd-column weight,
+    * canonical orientation, duplicate merge. */
+  val qEdgeListFile: String =
+    s"""WITH lines AS MATERIALIZED (
+         SELECT line FROM read_csv('/root/repo/fixtures/cora_sample.txt', header=false,
+                                   delim='', columns={'line':'VARCHAR'}, auto_detect=false)
+         WHERE line IS NOT NULL AND trim(line) <> '' AND line NOT LIKE '#%'
+       ), tok AS MATERIALIZED (
+         SELECT regexp_extract_all(trim(line), '\\S+') AS t FROM lines
+       ), e AS MATERIALIZED (
+         SELECT CAST(t[1] AS BIGINT) AS a, CAST(t[2] AS BIGINT) AS b,
+                CASE WHEN len(t) >= 3 THEN CAST(t[3] AS DOUBLE)
+                     ELSE CAST(1.0 AS DOUBLE) END AS w
+         FROM tok
+       )
+       SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst, CAST(SUM(w) AS BIGINT) AS weight
+       FROM e WHERE a <> b GROUP BY 1, 2 ORDER BY src, dst"""
+
   /** Customer–supplier co-purchase bipartite graph (orders ⋈ lineitem), the
     * larger second topology; PageRank 10 iterations. */
   val csCtes: String =

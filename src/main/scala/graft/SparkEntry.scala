@@ -107,6 +107,46 @@ object SparkEntry {
 
     "q_reverse" -> ((s, d) => GraphOps.reverse(graph(s, d).edges).orderBy("src", "dst")),
 
+    "q_weighted_degree" -> ((s, d) =>
+      GraphOps.weightedDegrees(graph(s, d).edges).orderBy("vid")),
+
+    "q_triplets" -> ((s, d) => {
+      val g = graph(s, d)
+      GraphOps.triplets(g.edges, g.vertices).orderBy("src", "dst")
+    }),
+
+    "q_typed_adjacency" -> ((s, d) => {
+      val g = graph(s, d)
+      GraphOps.typedAdjacency(g.edges, g.vertices)
+        .select(col("vid"), col("kind"),
+          array_join(transform(col("neighbors"), _.cast("string")), ",").as("neighbors"))
+        .orderBy("vid", "kind")
+    }),
+
+    "q_group_edges" -> ((s, d) => {
+      // per-event multi-edges (one row per transcript tool call) → groupEdges
+      // must reproduce the canonical conv→tool weighted edge arm
+      val g = graph(s, d)
+      val multi = LinkGraph.transcriptsFromEvents(s, d).where(col("tool").isNotNull)
+        .select(concat(lit("conv:"), col("conv_id")).as("akey"),
+          concat(lit("tool:"), col("tool")).as("bkey"))
+        .join(g.vertices.select(col("vid").as("src"), col("key").as("akey")), "akey")
+        .join(g.vertices.select(col("vid").as("dst"), col("key").as("bkey")), "bkey")
+        .select(col("src"), col("dst"), lit(1L).as("weight"))
+      GraphOps.groupEdges(multi).orderBy("src", "dst")
+    }),
+
+    "q_merge_labels" -> ((s, d) => {
+      val g = graph(s, d)
+      val labels = g.vertices.where(col("vid") % 3 === 0)
+        .select(col("vid"), (col("vid") % 7).as("label"))
+      graft.sources.GraphLoader.mergeLabels(g.vertices, labels).orderBy("vid")
+    }),
+
+    "q_edge_list_file" -> ((s, _) =>
+      graft.sources.GraphLoader.edgeListFile(s, "/root/repo/fixtures/cora_sample.txt")
+        .orderBy("src", "dst")),
+
     // ---- samplers (reference Reservoir / ARes semantics, deterministic) ----
 
     "q_sample_uniform" -> ((s, d) =>
@@ -217,6 +257,12 @@ object SparkEntry {
     "q_triangle_total" -> Oracles.qTriangleTotal,
     "q_subgraph" -> Oracles.qSubgraph,
     "q_reverse" -> Oracles.qReverse,
+    "q_weighted_degree" -> Oracles.qWeightedDegree,
+    "q_triplets" -> Oracles.qTriplets,
+    "q_typed_adjacency" -> Oracles.qTypedAdjacency,
+    "q_group_edges" -> Oracles.qGroupEdges,
+    "q_merge_labels" -> Oracles.qMergeLabels,
+    "q_edge_list_file" -> Oracles.qEdgeListFile,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
     "q_deepwalk" -> Oracles.qDeepwalk,
