@@ -62,9 +62,12 @@ object ScalingBench {
 
   private def measure(cores: Int, parts: Int, adjPath: String, iters: Int): Measured = {
     val spark = session(cores, parts)
-    // same superstep shape as graft.algo.PageRank: two-long edge pairs on the
-    // cached side, per-vertex contribution pr/deg on the state side
-    val sym = spark.read.parquet(adjPath).repartition(col("src")).persist()
+    // same superstep shape as graft.algo.PageRank: int-packed edge pairs on
+    // the cached side (the engine's byKeyPacked path — ids here fit int32),
+    // per-vertex contribution pr/deg on the state side
+    val sym = spark.read.parquet(adjPath)
+      .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+      .repartition(col("src")).persist()
     val nEdges = sym.count()
     var state = sym.groupBy(col("src").as("vid"))
       .agg(count(lit(1)).cast("double").as("deg"))

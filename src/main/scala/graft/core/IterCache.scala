@@ -24,4 +24,26 @@ object IterCache {
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       .repartition(col(key))
       .persist()
+
+  /** [[byKey]] + downcast the given long id columns to int when the observed
+    * id space fits in int32: halves the bytes the cached big side streams
+    * per superstep AND the per-row cost of every join probe — the superstep
+    * is DRAM-bandwidth-bound at scale (BASELINE.md §c), so bytes/edge is the
+    * scaling lever. Returns (cached frame, packed?); callers cast ids back
+    * to long on exit so the public API stays 64-bit (dictionary ids beyond
+    * 2^31 — the 10^12-turn regime — take the unpacked path automatically). */
+  def byKeyPacked(df: DataFrame, key: String, idCols: Seq[String]): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.functions.{greatest, least, max, min}
+    val leaf = df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val bounds = leaf.agg(
+      min(least(idCols.map(col): _*)).as("mn"),
+      max(greatest(idCols.map(col): _*)).as("mx")).head()
+    val pack = !bounds.isNullAt(0) &&
+      bounds.getLong(0) > Int.MinValue.toLong && bounds.getLong(1) < Int.MaxValue.toLong
+    val typed =
+      if (pack) leaf.select(leaf.columns.map(c =>
+        if (idCols.contains(c)) col(c).cast("int").as(c) else col(c)): _*)
+      else leaf
+    (typed.repartition(col(key)).persist(), pack)
+  }
 }
