@@ -335,6 +335,55 @@ object Oracles {
        SELECT walk_id, walk_id AS start, path FROM m5 ORDER BY walk_id"""
   }
 
+  /** Node2Vec replay: per-step bounded rejection sampling — `attempts`
+    * uniform positional candidates, acceptance (1/p, 1, 1/q)/top by
+    * d(prev,cand) class (membership = left join on the symmetric edge set),
+    * first accepted wins, last draw forced. p=0.5/q=2.0 give exact binary
+    * acceptance constants, so the float compare replays bit-for-bit
+    * (walksPerVertex=1, pathLength=5, attempts=4, seed=42). */
+  val qNode2vec: String = {
+    val (p, q, seed, attempts, pathLength) = (0.5, 2.0, 42L, 4, 5)
+    val top = math.max(1.0, math.max(1.0 / p, 1.0 / q))
+    val (aBack, aNbr, aOut) = (1.0 / p / top, 1.0 / top, 1.0 / q / top)
+    def caseOverT(f: Int => String): String =
+      s"(CASE ts.t ${(0 until attempts).map(t => s"WHEN $t THEN ${f(t)}").mkString(" ")} END)"
+    val steps = (2 until pathLength).map { s =>
+      val pick = caseOverT(t => s"(${mixSql("w.walk_id", s, seed + t * 1009L)} % w.cur_deg)")
+      val u = caseOverT(t =>
+        s"(CAST(${mixSql("w.walk_id", s, seed + t * 1009L + 501L)} AS DOUBLE) / CAST(2000003.0 AS DOUBLE))")
+      s"""c$s AS MATERIALIZED (
+         SELECT w.walk_id, w.cur, w.path, ts.t, i.dst AS cand, dd.deg AS cand_deg,
+                (ts.t = ${attempts - 1} OR
+                 $u < (CASE WHEN i.dst = w.prev THEN CAST($aBack AS DOUBLE)
+                            WHEN m.src IS NOT NULL THEN CAST($aNbr AS DOUBLE)
+                            ELSE CAST($aOut AS DOUBLE) END)) AS accepted
+         FROM n${s - 1} w
+         CROSS JOIN generate_series(0, ${attempts - 1}) ts(t)
+         JOIN idx i ON i.src = w.cur AND i.idx = $pick
+         JOIN deg dd ON dd.src = i.dst
+         LEFT JOIN sym m ON m.src = w.prev AND m.dst = i.dst
+       ), n$s AS MATERIALIZED (
+         SELECT walk_id, cur AS prev, cand AS cur, cand_deg AS cur_deg,
+                path || ',' || CAST(cand AS VARCHAR) AS path
+         FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id
+                          ORDER BY (CASE WHEN accepted THEN t ELSE 1000 END), t) AS rn
+               FROM c$s) x WHERE rn = 1
+       )"""
+    }.mkString(", ")
+    s"""WITH $graphCtes, deg AS MATERIALIZED (
+         SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src
+       ), idx AS MATERIALIZED (
+         SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM sym
+       ), n1 AS MATERIALIZED (
+         SELECT d.src AS walk_id, d.src AS prev, i.dst AS cur, dd.deg AS cur_deg,
+                CAST(d.src AS VARCHAR) || ',' || CAST(i.dst AS VARCHAR) AS path
+         FROM deg d
+         JOIN idx i ON i.src = d.src AND i.idx = (${mixSql("d.src", 1, seed)} % d.deg)
+         JOIN deg dd ON dd.src = i.dst
+       ), $steps
+       SELECT walk_id, walk_id AS start, path FROM n${pathLength - 1} ORDER BY walk_id"""
+  }
+
   // ---- text analysis over documents ----
 
   private val toksCte =

@@ -162,7 +162,7 @@ object SparkEntry {
         .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
         .orderBy("walk_id")),
 
-    "q_node2vec" -> ((s, d) => // rows-only: bounded-rejection accept chain not SQL-replayed
+    "q_node2vec" -> ((s, d) =>
       graft.algo.RandomWalks.node2vec(graph(s, d).edges, p = 0.5, q = 2.0, pathLength = 5)
         .select(col("walk_id"), col("start"), array_join(col("path"), ",").as("path"))
         .orderBy("walk_id")),
@@ -266,6 +266,7 @@ object SparkEntry {
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
     "q_deepwalk" -> Oracles.qDeepwalk,
+    "q_node2vec" -> Oracles.qNode2vec,
     "q_metapath" -> Oracles.qMetapath,
     "q_token_count" -> Oracles.qTokenCount,
     "q_quality" -> Oracles.qQuality,
