@@ -109,6 +109,16 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"ANN recall@10 = $recall")
   }
 
+  test("annTopKAuto picks scale-safe bands and keeps recall") {
+    val brute = Similarity.bruteTopK(embeddings, k = 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annTopKAuto(embeddings, k = 10)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ann).size.toDouble / brute.size
+    assert(recall >= 0.8, s"auto ANN recall@10 = $recall")
+  }
+
   test("cosinePairs finds the planted clusters") {
     val pairs = Similarity.cosinePairs(embeddings, 0.99).collect()
     assert(pairs.nonEmpty)
