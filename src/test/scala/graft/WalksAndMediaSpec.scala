@@ -114,6 +114,49 @@ class MediaPipelineSpec extends SparkTestBase {
     }
   }
 
+  test("PPM decode is real: round-trip + hand-computed pooled luminance") {
+    import graft.multimodal.RawCodecs
+    // 2x2 image: white, black, black, white — 2x2 grid pooling = identity
+    val rgb = Array[Byte](-1, -1, -1, 0, 0, 0, 0, 0, 0, -1, -1, -1)
+    val enc = RawCodecs.encodePpm(2, 2, rgb)
+    val Some((w, h, dec)) = RawCodecs.decodePpm(enc)
+    assert(w == 2 && h == 2 && dec.toSeq == rgb.toSeq)
+    val feats = RawCodecs.poolLuminance(w, h, dec, grid = 2)
+    assert(math.abs(feats(0) - 1.0f) < 1e-5 && math.abs(feats(3) - 1.0f) < 1e-5)
+    assert(math.abs(feats(1)) < 1e-5 && math.abs(feats(2)) < 1e-5)
+    // comment + whitespace variants parse too
+    val commented = ("P6\n# a comment\n 2 2\n255\n").getBytes("US-ASCII") ++ rgb
+    assert(RawCodecs.decodePpm(commented).exists(_._1 == 2))
+    assert(RawCodecs.decodePpm("nonsense".getBytes).isEmpty)
+  }
+
+  test("WAV decode is real: round-trip + sine RMS ~ A/sqrt(2)") {
+    import graft.multimodal.RawCodecs
+    val rate = 8000
+    val samples = Array.tabulate(800)(i => (math.sin(2 * math.Pi * 400 * i / rate) * 16384).toShort)
+    val Some((gotRate, dec)) = RawCodecs.decodeWav(RawCodecs.encodeWav(rate, samples))
+    assert(gotRate == rate && dec.toSeq == samples.toSeq)
+    val rms = RawCodecs.rmsWindows(dec, 16)
+    val expected = (16384.0 / 32768.0) / math.sqrt(2.0)
+    rms.foreach(r => assert(math.abs(r - expected) < 0.02, s"rms $r vs $expected"))
+  }
+
+  test("image/audio features come from real decode, not the stub") {
+    val media = MediaPipeline.syntheticMedia(spark, 12)
+    val feats = MediaPipeline.extractFeatures(media, dim = 16).collect()
+    // gradient image: left grid column darker than right (red ramps with x)
+    val img = feats.filter(_.kind == "image")
+    assert(img.nonEmpty)
+    img.foreach { f => assert(f.features(0) < f.features(3), s"${f.features.toList}") }
+    // sine audio: all RMS windows near A/sqrt(2), far from the stub's [0,1) noise spread
+    val aud = feats.filter(_.kind == "audio")
+    assert(aud.nonEmpty)
+    val expected = (12000.0 / 32768.0) / math.sqrt(2.0)
+    aud.foreach { f =>
+      f.features.foreach(r => assert(math.abs(r - expected) < 0.03, s"${f.features.toList}"))
+    }
+  }
+
   test("resize plan computes scales without touching bytes") {
     import spark.implicits._
     val got = MediaPipeline.resizePlan(
