@@ -47,8 +47,12 @@ object ScalingBench {
   }
 
   /** Generate transcripts → derive edges → write the symmetrized
-    * inverse-degree adjacency as parquet (once, at full width). */
+    * inverse-degree adjacency as parquet (once, at full width). With
+    * SPARK_GRAFT_SCALING_REUSE=1 an existing output is reused (A/B reruns
+    * on the same input without the prep cost). */
   private def prep(nConvs: Long, path: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_SCALING_REUSE").contains("1") &&
+      new java.io.File(s"$path/_SUCCESS").exists()) return
     val spark = session(32, 64)
     val g = LinkGraph.fromTranscripts(SyntheticTranscripts.generate(spark, nConvs, 20, 500))
     LinkGraph.symmetrize(g.edges).write.mode("overwrite").parquet(path)
@@ -60,13 +64,16 @@ object ScalingBench {
     def thrMean: Double = symEdges / meanIter
   }
 
-  private def measure(cores: Int, parts: Int, adjPath: String, iters: Int): Measured = {
+  private def measure(cores: Int, parts: Int, adjPath: String, iters: Int,
+      packed: Boolean = false): Measured = {
     val spark = session(cores, parts)
-    // same superstep shape as graft.algo.PageRank: int-packed edge pairs on
-    // the cached side (the engine's byKeyPacked path — ids here fit int32),
-    // per-vertex contribution pr/deg on the state side
-    val sym = spark.read.parquet(adjPath)
-      .select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+    // same superstep shape as graft.algo.PageRank: two-longs-per-edge cached
+    // side, per-vertex contribution pr/deg on the state side; packed=true is
+    // the int32 A/B arm (measured ~6% slower — BASELINE.md §c round 2)
+    val raw = spark.read.parquet(adjPath)
+    val sym = (if (packed)
+      raw.select(col("src").cast("int").as("src"), col("dst").cast("int").as("dst"))
+    else raw.select(col("src"), col("dst")))
       .repartition(col("src")).persist()
     val nEdges = sym.count()
     var state = sym.groupBy(col("src").as("vid"))
@@ -103,13 +110,20 @@ object ScalingBench {
     prep(bigConvs, bigPath)
 
     measure(32, 64, medPath, 4) // JIT warm-up
+    // shuffle partitions scale with the level (≈8 tasks/core at the big
+    // scale): the round-2 granularity sweep measured 64 parts as 2 coarse
+    // waves at 32 cores (stragglers dominate the tail) — 256 parts is ~16%
+    // faster at n32 and neutral at n8; 512 is flat vs 256.
     val s8 = measure(8, 64, bigPath, 6)
-    val s32 = measure(32, 64, bigPath, 6)
+    val s32 = measure(32, 256, bigPath, 6)
+    val s8p = measure(8, 64, bigPath, 6, packed = true)
+    val s32p = measure(32, 256, bigPath, 6, packed = true)
     val m2 = measure(2, 32, medPath, 5)
     val m8 = measure(8, 32, medPath, 8)
 
     def eff(n: Measured, n4: Measured) = (n4.thrMin / (4.0 * n.thrMin), n4.thrMean / (4.0 * n.thrMean))
     val (big832min, big832mean) = eff(s8, s32)
+    val (big832minP, big832meanP) = eff(s8p, s32p)
     val (med28min, med28mean) = eff(m2, m8)
 
     def block(name: String, m: Measured, cores: Int) =
@@ -120,6 +134,6 @@ object ScalingBench {
     // per-executor scaling rather than DRAM saturation. The 8→32 big-graph
     // pair is reported alongside, with both regimes explained in BASELINE.md.
     println(
-      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f},"strong_8_32_big":{"min":$big832min%.3f,"mean":$big832mean%.3f}},${block("n8_big", s8, 8)},${block("n32_big", s32, 32)},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)}}""")
+      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f},"strong_8_32_big":{"min":$big832min%.3f,"mean":$big832mean%.3f},"strong_8_32_big_intpacked":{"min":$big832minP%.3f,"mean":$big832meanP%.3f}},${block("n8_big", s8, 8)},${block("n32_big", s32, 32)},${block("n8_big_intpacked", s8p, 8)},${block("n32_big_intpacked", s32p, 32)},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)}}""")
   }
 }

@@ -42,13 +42,15 @@ object PageRank {
     * be re-canonicalized by the CacheManager on every iteration — measured as
     * the dominant serial cost), then hash-partitioned on the join key once
     * and cached COLUMNAR. 1/deg is NOT carried per edge: the per-vertex
-    * contribution pr/deg is computed on the vertex-sized state instead, and
-    * vids downcast to int when the id space fits (two ints per edge — half
-    * the bytes the DRAM-bandwidth-bound superstep streams; ids ≥ 2^31 take
-    * the long path). Every superstep reuses this exchange; only the
+    * contribution pr/deg is computed on the vertex-sized state instead, so
+    * the big cached side is two longs per edge. (Int32 vid packing was
+    * A/B-measured on the 337M-edge pair and is ~6% SLOWER at both 8 and 32
+    * cores — the columnar cache already compresses long vids, and the casts
+    * cost more than the width saves; see BASELINE.md §c round 2 and
+    * IterCache.byKeyPacked.) Every superstep reuses this exchange; only the
     * vertex-sized rank table moves. */
-  private def symCache(edges: DataFrame): (DataFrame, Boolean) =
-    graft.core.IterCache.byKeyPacked(LinkGraph.symmetrize(edges), "src", Seq("src", "dst"))
+  private def symCache(edges: DataFrame): DataFrame =
+    graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
 
   /** Per-vertex degree over the symmetrized edge set, for the init state.
     * With `vertices` supplied, isolated (degree-0) vertices are seeded too —
@@ -56,13 +58,11 @@ object PageRank {
     * oracle's r0-from-vertices seeding; without it the vertex set is derived
     * from the edges (safe whenever every vertex has an edge, as the
     * link-graph derivation guarantees). */
-  private def initState(sym: DataFrame, vertices: Option[DataFrame], packed: Boolean): DataFrame = {
+  private def initState(sym: DataFrame, vertices: Option[DataFrame]): DataFrame = {
     val degs = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).cast("double").as("deg"))
     val base = vertices match {
-      case Some(v) =>
-        val vids = if (packed) v.select(col("vid").cast("int").as("vid")) else v.select(col("vid"))
-        vids.join(degs, Seq("vid"), "left")
-          .select(col("vid"), coalesce(col("deg"), lit(0.0)).as("deg"))
+      case Some(v) => v.select(col("vid")).join(degs, Seq("vid"), "left")
+        .select(col("vid"), coalesce(col("deg"), lit(0.0)).as("deg"))
       case None => degs
     }
     base.select(col("vid"), lit(1.0).as("pr"), col("deg"), lit(true).as("active"))
@@ -76,14 +76,13 @@ object PageRank {
       maxIter: Int = 100,
       checkpointer: Option[Checkpointer] = None,
       vertices: Option[DataFrame] = None): Result = {
-    val (sym, packed) = symCache(edges)
-    val res = IterativeRunner.loop(initState(sym, vertices, packed), maxIter,
+    val sym = symCache(edges)
+    val res = IterativeRunner.loop(initState(sym, vertices), maxIter,
       checkpointer = checkpointer) {
       (state, _) => step(sym, state, resetProb, tol)
     } { next => next.where(col("active")).count() }
     sym.unpersist(false)
-    Result(res.state.select(col("vid").cast("long").as("vid"), col("pr")),
-      res.iterations, res.metrics)
+    Result(res.state.select("vid", "pr"), res.iterations, res.metrics)
   }
 
   /** Fixed-iteration run (oracle-parity variant; no convergence action). */
@@ -92,12 +91,12 @@ object PageRank {
       iterations: Int,
       resetProb: Double = 0.15,
       vertices: Option[DataFrame] = None): DataFrame = {
-    val (sym, packed) = symCache(edges)
-    val res = IterativeRunner.loop(initState(sym, vertices, packed), iterations) { (state, _) =>
+    val sym = symCache(edges)
+    val res = IterativeRunner.loop(initState(sym, vertices), iterations) { (state, _) =>
       step(sym, state, resetProb, tol = 0.0)
     } { _ => 1L } // no early exit: run exactly `iterations` supersteps
     sym.unpersist(false)
-    res.state.select(col("vid").cast("long").as("vid"), col("pr"))
+    res.state.select("vid", "pr")
   }
 
   /** One superstep. Joins are SHUFFLE_HASH by hint: the rank table must

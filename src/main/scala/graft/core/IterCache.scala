@@ -26,12 +26,13 @@ object IterCache {
       .persist()
 
   /** [[byKey]] + downcast the given long id columns to int when the observed
-    * id space fits in int32: halves the bytes the cached big side streams
-    * per superstep AND the per-row cost of every join probe — the superstep
-    * is DRAM-bandwidth-bound at scale (BASELINE.md §c), so bytes/edge is the
-    * scaling lever. Returns (cached frame, packed?); callers cast ids back
-    * to long on exit so the public API stays 64-bit (dictionary ids beyond
-    * 2^31 — the 10^12-turn regime — take the unpacked path automatically). */
+    * id space fits in int32. MEASURED NEGATIVE on this workload: the round-2
+    * A/B on the 337M-edge superstep (`ScalingBench`, packed vs unpacked at 8
+    * and 32 cores) showed int packing ~6% SLOWER at both levels with
+    * identical 8→32 efficiency — the columnar cache already compresses long
+    * vids, so the casts cost more than the width saves (BASELINE.md §c).
+    * Kept as the documented experiment + for callers whose cached side is
+    * NOT behind a columnar cache. Returns (cached frame, packed?). */
   def byKeyPacked(df: DataFrame, key: String, idCols: Seq[String]): (DataFrame, Boolean) = {
     import org.apache.spark.sql.functions.{greatest, least, max, min}
     val leaf = df.localCheckpoint(true, StorageLevel.DISK_ONLY)
