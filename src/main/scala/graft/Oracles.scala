@@ -218,7 +218,8 @@ object Oracles {
                      ELSE CAST(1.0 AS DOUBLE) END AS w
          FROM tok
        )
-       SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst, CAST(SUM(w) AS BIGINT) AS weight
+       SELECT LEAST(a, b) AS src, GREATEST(a, b) AS dst,
+              CAST(trunc(SUM(w)) AS BIGINT) AS weight
        FROM e WHERE a <> b GROUP BY 1, 2 ORDER BY src, dst"""
 
   /** Customer–supplier co-purchase bipartite graph (orders ⋈ lineitem), the

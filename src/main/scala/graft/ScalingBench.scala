@@ -104,8 +104,10 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     val bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_BIG", "50000000").toLong
     val medConvs = 2000000L
-    val bigPath = s"$workDir/adj_big"
-    val medPath = s"$workDir/adj_med"
+    // size-keyed paths: a REUSE run with a different SPARK_GRAFT_SCALING_BIG
+    // must re-prep, not silently benchmark the stale graph
+    val bigPath = s"$workDir/adj_big_$bigConvs"
+    val medPath = s"$workDir/adj_med_$medConvs"
     prep(medConvs, medPath)
     prep(bigConvs, bigPath)
 

@@ -66,10 +66,11 @@ object SparkEntry {
         .select(col("vid"), round(col("pr"), 6).as("pr"))
         .orderBy("vid")),
 
-    "q_pagerank_conv" -> ((s, d) =>
-      PageRank.run(graph(s, d).edges, tol = 1e-6, maxIter = 100).ranks
-        .select(col("vid"), round(col("pr"), 6).as("pr"))
-        .orderBy("vid")),
+    "q_pagerank_conv" -> ((s, d) => {
+      val r = PageRank.run(graph(s, d).edges, tol = 1e-6, maxIter = 100)
+      convIterations.put(d, r.iterations) // reused by dynamicOracleSql
+      r.ranks.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
+    }),
 
     "q_pagerank_cs" -> ((s, d) =>
       PageRank.runFixed(csGraph(s, d).edges, iterations = 10)
@@ -283,12 +284,19 @@ object SparkEntry {
     // so its oracle is generated at Verify time — see dynamicOracleSql.
   )
 
+  /** Converged iteration counts observed by q_pagerank_conv, per sfDir —
+    * lets [[dynamicOracleSql]] reuse the run Verify already executed instead
+    * of re-running the heaviest loop (and guarantees the emitted chain
+    * length matches the dumped ranks exactly). */
+  private val convIterations = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Oracles that depend on engine state at the driver's scale factor:
-    * q_pagerank_conv runs the tolerance loop, reads the converged iteration
-    * count n, and emits the exact n-step DuckDB recurrence chain. Verify
-    * merges this over [[oracleSql]] before dumping oracle_sql.json. */
+    * q_pagerank_conv's oracle is the exact n-step DuckDB recurrence chain
+    * for the converged iteration count n. Verify merges this over
+    * [[oracleSql]] before dumping oracle_sql.json. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val n = PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations
+    val n = Option(convIterations.get(sfDir)).map(_.intValue).getOrElse(
+      PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations)
     Map("q_pagerank_conv" ->
       s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
          SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""")

@@ -86,6 +86,7 @@ object RandomWalks {
           concat(col("path"), array(col("dst"))).as("path"))
       walks = drawn.localCheckpoint(false)
     }
+    walks.count() // materialize the lazy checkpoint chain while idx is cached
     idx.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
   }
@@ -161,6 +162,7 @@ object RandomWalks {
           concat(col("s.path"), array(col("s.cand"))).as("path"))
         .localCheckpoint(false)
     }
+    walks.count() // materialize the lazy checkpoint chain while caches live
     idx.unpersist(false); nbrSet.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
   }
@@ -207,6 +209,7 @@ object RandomWalks {
           (col("stopped") || col("deg").isNull).as("stopped"))
       walks = drawn.localCheckpoint(false)
     }
+    walks.count() // materialize the lazy checkpoint chain while caches live
     idx.unpersist(false); degK.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
   }

@@ -32,11 +32,14 @@ object RawCodecs {
       if (any) v else -1
     }
     val w = int(); val h = int(); val maxVal = int()
-    if (w <= 0 || h <= 0 || maxVal != 255 || pos >= bytes.length) return None
+    // dimension cap guards the Long product AND adversarial headers claiming
+    // giant images (need stays well under Int.MaxValue)
+    if (w <= 0 || h <= 0 || w > 16384 || h > 16384 || maxVal != 255 ||
+      pos >= bytes.length) return None
     pos += 1 // single whitespace after maxval
-    val need = w * h * 3
+    val need = w.toLong * h * 3
     if (bytes.length - pos < need) None
-    else Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need)))
+    else Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
   }
 
   def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -59,7 +62,10 @@ object RawCodecs {
     val bits = (bytes(34) & 0xff) | ((bytes(35) & 0xff) << 8)
     if (audioFormat != 1 || channels != 1 || bits != 16) return None
     val sampleRate = le32(24)
-    val dataLen = math.min(le32(40), bytes.length - 44)
+    if (sampleRate <= 0) return None
+    // a corrupt/adversarial length field must clamp, not produce a negative
+    // array size — the Option contract is what lets callers fall back cleanly
+    val dataLen = math.max(0, math.min(le32(40), bytes.length - 44))
     val n = dataLen / 2
     val out = new Array[Short](n)
     var i = 0

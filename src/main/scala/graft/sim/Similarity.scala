@@ -27,10 +27,12 @@ object Similarity {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Embedding dimensionality — one scalar head probe (dims are uniform per
-    * table by contract). */
+  /** Embedding dimensionality — one scalar probe (dims are uniform per
+    * table by contract). Empty table → 1, so downstream plans stay valid
+    * (and correctly empty) instead of crashing on head(). */
   private def embDim(embeddings: DataFrame): Int =
-    embeddings.select(size(col("embedding")).as("d")).head().getInt(0)
+    embeddings.select(size(col("embedding")).as("d")).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
 
   /** (vec_id, nrm, x0..x{dim-1}): flattened unit of all similarity plans. */
   private def flat(embeddings: DataFrame, dim: Int): DataFrame =
