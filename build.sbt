@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes STRAIGHT to stdout (no sbt "[info] " prefix):
+// the driver parses graft.Bench's single JSON line from stdout, and the
+// prefix made every prior round's line unparseable (BENCH_r01/r02
+// "parsed": null — the numbers had to be fished out of the raw tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1,15 +1,32 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.SparkSession
 
 import graft.algo.PageRank
 import graft.derive.LinkGraph
 import graft.model.SyntheticTranscripts
 
-/** Per-round benchmark: times every SparkEntry query at the driver-supplied
-  * scale factor, plus the headline BASELINE.json metric — PageRank
+/** Per-round benchmark: the headline BASELINE.json metric — PageRank
   * edges-processed/sec/iteration + iterations-to-convergence (tol 1e-6) on a
-  * transcript-derived edge graph. Emits ONE JSON line.
+  * transcript-derived edge graph — followed by a timed sweep of every
+  * SparkEntry query at the driver-supplied scale factor. Emits ONE JSON line.
+  *
+  * Protocol (round 3, after the round-2 reproducibility gap):
+  *   - The headline loop runs FIRST, on a fresh session — round 1 measured a
+  *     3× headline degradation from same-session residue (tenured-heap/GC
+  *     pressure left by earlier queries), and round 2's builder-vs-driver
+  *     1.77× gap had the same shape (the builder measured headline-first
+  *     sessions, the driver ran this main where the headline came last).
+  *     Headline-first makes the driver's number and the builder's number the
+  *     SAME protocol.
+  *   - `spark.catalog.clearCache()` between queries kills cross-query cache
+  *     residue, and per-query GC time + session position are recorded so
+  *     ordering effects are visible in the JSON instead of conjectural.
+  *   - A failed query is OMITTED from "queries" (no sign-encoded times) and
+  *     listed in "failed"; per-query {sec, ok, gc_sec, pos} live in
+  *     "queries_meta".
   */
 object Bench {
 
@@ -30,6 +47,10 @@ object Bench {
     (nEdges, res.iterations, secs)
   }
 
+  private def gcMillis: Long =
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -43,29 +64,39 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // a failed query records NEGATIVE elapsed time (and lands in "failed"):
-    // a crash must not be indistinguishable from a fast success in the JSON
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      name -> (if (ok) secs else -secs)
-    }
-    // headline graph: large enough that per-superstep compute dominates the
+    // headline FIRST: fresh-JVM conditions, no sweep residue (see scaladoc).
+    // Graph large enough that per-superstep compute dominates the
     // per-iteration serial floor (see BASELINE.md §c) — ~13.7M directed edges
     val headlineConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
     val (prEdges, prIters, prSecs) = pagerankHeadline(spark, headlineConvs, nTools = 500)
     val edgesPerSecPerIter = prEdges.toDouble * prIters / prSecs
+    spark.catalog.clearCache()
 
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }.mkString("[", ",", "]")
-    val total = results.map { case (_, v) => math.abs(v) }.sum
+    final case class QRes(name: String, sec: Double, ok: Boolean, gcSec: Double, pos: Int)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
+      case ((name, fn), pos) =>
+        spark.catalog.clearCache() // no cross-query cache residue
+        val gc0 = gcMillis
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        QRes(name, (System.nanoTime() - t0) / 1e9, ok, (gcMillis - gc0) / 1e3, pos)
+    }
+
+    val qs = results.collect { case r if r.ok => "\"" + r.name + f"""":${r.sec}%.3f""" }
+      .mkString("{", ",", "}")
+    val meta = results.map { r =>
+      "\"" + r.name +
+        f"""":{"sec":${r.sec}%.3f,"ok":${r.ok},"gc_sec":${r.gcSec}%.3f,"pos":${r.pos}}"""
+    }.mkString("{", ",", "}")
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_.sec).sum
     println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir","pagerank":{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f},"cpus":$cpus}""")
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_meta":$meta,"failed":$failed,"sf":"$sfDir","pagerank":{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f},"headline_position":"first","cpus":$cpus}""")
     spark.stop()
   }
 }

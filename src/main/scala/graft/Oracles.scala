@@ -281,12 +281,20 @@ object Oracles {
     s"(($t * $t * 31 + $t * 7 + ($w % 2000003)) % 2000003)"
   }
 
+  /** SQL rendering of [[graft.algo.RandomWalks.wideMix]]: two independently
+    * salted mix values combined base-2000003 → a ~42-bit draw, so `% deg` is
+    * unbiased-and-complete for hub degrees far beyond 2000003 (the single-mix
+    * draw could never reach index ≥ 2000003). Salt offset 777777 matches the
+    * engine. */
+  def wideMixSql(w: String, step: Int, salt: Long): String =
+    s"(${mixSql(w, step, salt)} * 2000003 + ${mixSql(w, step, salt + 777777L)})"
+
   /** DeepWalk replay: positional index (row_number over sorted neighbors),
     * per-step draw = mix(walk, step, seed) mod deg(cur) — bit-for-bit the
     * engine's walk (walksPerVertex=1, pathLength=5, seed=42). */
   val qDeepwalk: String = {
     val steps = (1 until 5).map { s =>
-      val drawE = s"(${mixSql("w.walk_id", s, 42L)} % d.deg)"
+      val drawE = s"(${wideMixSql("w.walk_id", s, 42L)} % d.deg)"
       s"""w${s + 1} AS MATERIALIZED (
          SELECT w.walk_id, i.dst AS cur, w.path || ',' || CAST(i.dst AS VARCHAR) AS path
          FROM w$s w
@@ -311,7 +319,7 @@ object Oracles {
     val metaPath = Seq("conv", "tool")
     val steps = (1 until 5).map { s =>
       val kind = metaPath(s % metaPath.length)
-      val drawE = s"(${mixSql("w.walk_id", s, 42L)} % d.deg)"
+      val drawE = s"(${wideMixSql("w.walk_id", s, 42L)} % d.deg)"
       s"""m${s + 1} AS MATERIALIZED (
          SELECT w.walk_id,
                 CASE WHEN w.stopped OR d.deg IS NULL THEN w.cur ELSE i.dst END AS cur,
@@ -349,7 +357,7 @@ object Oracles {
     def caseOverT(f: Int => String): String =
       s"(CASE ts.t ${(0 until attempts).map(t => s"WHEN $t THEN ${f(t)}").mkString(" ")} END)"
     val steps = (2 until pathLength).map { s =>
-      val pick = caseOverT(t => s"(${mixSql("w.walk_id", s, seed + t * 1009L)} % w.cur_deg)")
+      val pick = caseOverT(t => s"(${wideMixSql("w.walk_id", s, seed + t * 1009L)} % w.cur_deg)")
       val u = caseOverT(t =>
         s"(CAST(${mixSql("w.walk_id", s, seed + t * 1009L + 501L)} AS DOUBLE) / CAST(2000003.0 AS DOUBLE))")
       s"""c$s AS MATERIALIZED (
@@ -379,7 +387,7 @@ object Oracles {
          SELECT d.src AS walk_id, d.src AS prev, i.dst AS cur, dd.deg AS cur_deg,
                 CAST(d.src AS VARCHAR) || ',' || CAST(i.dst AS VARCHAR) AS path
          FROM deg d
-         JOIN idx i ON i.src = d.src AND i.idx = (${mixSql("d.src", 1, seed)} % d.deg)
+         JOIN idx i ON i.src = d.src AND i.idx = (${wideMixSql("d.src", 1, seed)} % d.deg)
          JOIN deg dd ON dd.src = i.dst
        ), $steps
        SELECT walk_id, walk_id AS start, path FROM n${pathLength - 1} ORDER BY walk_id"""
@@ -631,4 +639,97 @@ object Oracles {
        JOIN norms nb ON nb.vec_id = d.vb
        WHERE d.dot / (na.nrm * nb.nrm) >= CAST(0.45 AS DOUBLE)
        ORDER BY vec_a, vec_b"""
+
+  // ---- SVD++ (full SGD replay — the round-2 "no_oracle" gap) ----
+
+  /** SQL rendering of [[graft.algo.SVDPlusPlus.detRand]] for a LITERAL dim
+    * index `i`: portable squared-mix uniform in [0, 1). */
+  def detRandSql(vid: String, i: Int, salt: Long): String = {
+    val c = i.toLong * 40503L + salt * 97L + 11L
+    val t = s"(($vid * 2654435761 + $c) % 1000003)"
+    s"(CAST((($t * $t * 31 + $t * 7 + $i) % 2000003) AS DOUBLE) / CAST(2000003.0 AS DOUBLE))"
+  }
+
+  /** SVD++ bias replay: the exact per-iteration SGD recurrence of
+    * [[graft.algo.SVDPlusPlus.run]] unrolled as a CTE chain with one column
+    * per factor dimension — portable init ([[detRandSql]]), same clamp, same
+    * left-to-right dot order, same gradient expressions. Per-vertex gradient
+    * SUMs may reassociate vs Spark's partial aggregation; both sides round
+    * bias to 6 decimals, absorbing the ~1e-13 reassociation noise (the same
+    * argument every other sum-bearing oracle in this file relies on).
+    * Parameters mirror SparkEntry.q_svdpp: rank=4, 2 iterations,
+    * clamp [1, 5], reference default gammas (SVDPlusPlus.Conf). */
+  val qSvdpp: String = {
+    val (rank, iters) = (4, 2)
+    val (g1, g2, g6, g7) = (0.007, 0.007, 0.005, 0.015)
+    val (minV, maxV) = (1.0, 5.0)
+    val D = 0 until rank
+    def cols(f: Int => String) = D.map(f).mkString(", ")
+    val head =
+      s"""e AS MATERIALIZED (
+        SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst,
+               CAST((CAST(trunc(l.l_quantity) AS BIGINT) % 5) + 1 AS DOUBLE) AS rating
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      ), mu AS MATERIALIZED (SELECT AVG(rating) AS u FROM e),
+      inc AS MATERIALIZED (
+        SELECT vid, COUNT(*) AS deg, AVG(rating) AS meanr FROM (
+          SELECT src AS vid, rating FROM e UNION ALL SELECT dst AS vid, rating FROM e
+        ) x GROUP BY vid
+      ), v0 AS MATERIALIZED (
+        SELECT i.vid,
+               ${cols(d => detRandSql("i.vid", d, 1L) + s" AS p$d")},
+               ${cols(d => detRandSql("i.vid", d, 2L) + s" AS y$d")},
+               i.meanr - (SELECT u FROM mu) AS bias,
+               CAST(1.0 AS DOUBLE) / sqrt(CAST(i.deg AS DOUBLE)) AS norm
+        FROM inc i
+      )"""
+    val iterCtes = (1 to iters).map { k =>
+      val pv = s"v${k - 1}"
+      s"""sy$k AS MATERIALIZED (
+        SELECT e.src AS vid, ${cols(d => s"SUM(v.y$d) AS s$d")}
+        FROM e JOIN $pv v ON v.vid = e.dst GROUP BY e.src
+      ), us$k AS MATERIALIZED (
+        SELECT v.vid, ${cols(d => s"v.p$d")}, v.bias, v.norm,
+               ${cols(d =>
+                 s"CASE WHEN s.vid IS NULL THEN v.p$d ELSE v.norm * s.s$d + v.p$d END AS p2_$d")}
+        FROM $pv v LEFT JOIN sy$k s ON s.vid = v.vid
+      ), tj$k AS MATERIALIZED (
+        SELECT e.src, e.dst, e.rating,
+               ${cols(d => s"uu.p$d AS pu$d")}, ${cols(d => s"uu.p2_$d AS p2_$d")},
+               uu.bias AS bu, uu.norm AS nu,
+               ${cols(d => s"vv.p$d AS qi$d")}, ${cols(d => s"vv.y$d AS yi$d")}, vv.bias AS bi
+        FROM e JOIN us$k uu ON uu.vid = e.src JOIN $pv vv ON vv.vid = e.dst
+      ), t$k AS MATERIALIZED (
+        SELECT *, rating - LEAST(GREATEST(
+                 (SELECT u FROM mu) + bu + bi + (${D.map(d => s"qi$d * p2_$d").mkString(" + ")}),
+                 CAST($minV AS DOUBLE)), CAST($maxV AS DOUBLE)) AS err
+        FROM tj$k
+      ), gm$k AS MATERIALIZED (
+        SELECT src AS vid,
+               ${cols(d =>
+                 s"CAST($g2 AS DOUBLE) * (err * qi$d - CAST($g7 AS DOUBLE) * pu$d) AS dp$d")},
+               CAST($g1 AS DOUBLE) * (err - CAST($g6 AS DOUBLE) * bu) AS db
+        FROM t$k
+        UNION ALL
+        SELECT dst AS vid,
+               ${cols(d => s"CAST($g2 AS DOUBLE) * (err * p2_$d - CAST($g7 AS DOUBLE) * qi$d)")},
+               CAST($g1 AS DOUBLE) * (err - CAST($g6 AS DOUBLE) * bi)
+        FROM t$k
+      ), g$k AS MATERIALIZED (
+        SELECT vid, ${cols(d => s"SUM(dp$d) AS dp$d")}, SUM(db) AS db FROM gm$k GROUP BY vid
+      ), gy$k AS MATERIALIZED (
+        SELECT dst AS vid,
+               ${cols(d =>
+                 s"SUM(CAST($g2 AS DOUBLE) * (err * nu * qi$d - CAST($g7 AS DOUBLE) * yi$d)) AS dy$d")}
+        FROM t$k GROUP BY dst
+      ), v$k AS MATERIALIZED (
+        SELECT v.vid,
+               ${cols(d => s"CASE WHEN g.vid IS NULL THEN v.p$d ELSE v.p$d + g.dp$d END AS p$d")},
+               ${cols(d => s"CASE WHEN gy.vid IS NULL THEN v.y$d ELSE v.y$d + gy.dy$d END AS y$d")},
+               v.bias + COALESCE(g.db, CAST(0 AS DOUBLE)) AS bias, v.norm
+        FROM $pv v LEFT JOIN g$k g ON g.vid = v.vid LEFT JOIN gy$k gy ON gy.vid = v.vid
+      )"""
+    }.mkString(", ")
+    s"WITH $head, $iterCtes SELECT vid, ROUND(bias, 6) AS bias FROM v$iters ORDER BY vid"
+  }
 }

@@ -224,7 +224,7 @@ object SparkEntry {
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")),
 
-    "q_svdpp" -> ((s, d) => { // rows-only: SGD factors, asserted in SVDPlusPlusSpec
+    "q_svdpp" -> ((s, d) => { // full SGD replay oracle (Oracles.qSvdpp) + SVDPlusPlusSpec
       val o = s.read.parquet(s"$d/orders.parquet")
       val l = s.read.parquet(s"$d/lineitem.parquet")
       val ratings = o.join(l, o("o_orderkey") === l("l_orderkey"))
@@ -280,6 +280,7 @@ object SparkEntry {
     "q_ann_cosine" -> Oracles.qAnnCosine,
     "q_ann_lsh" -> Oracles.qAnnLsh,
     "q_embed_dedup" -> Oracles.qEmbedDedup,
+    "q_svdpp" -> Oracles.qSvdpp,
     // q_pagerank_conv: the tolerance loop's iteration count is data-dependent,
     // so its oracle is generated at Verify time — see dynamicOracleSql.
   )

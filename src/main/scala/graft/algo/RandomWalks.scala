@@ -57,8 +57,19 @@ object RandomWalks {
     pmod(t * t * lit(31L) + t * lit(7L) + pmod(walkId, lit(2000003L)), lit(2000003L))
   }
 
-  private def draw(walkId: Column, step: Int, deg: Column, seed: Long, salt: Long = 0L): Column =
-    pmod(mix(walkId, step, seed + salt), deg).cast("int")
+  /** Wide (~42-bit) portable draw value in [0, 2000003²): two independently
+    * salted [[mix]] values combined base-2000003. A single mix() is bounded
+    * by 2000003, so `mix mod deg` could never reach neighbor indices ≥
+    * 2000003 and carried ~2× modulo bias already near degree 10⁶ — the wide
+    * value keeps the draw correct for hub degrees up to ~10⁹ with modulo
+    * bias ≤ deg/4·10¹² (≈2.5e-4 at deg=10⁹). Mirrors
+    * [[graft.Oracles.wideMixSql]] exactly (the salt offset 777777 is part of
+    * the portable contract). */
+  private[graft] def wideMix(walkId: Column, step: Int, salt: Long): Column =
+    mix(walkId, step, salt) * lit(2000003L) + mix(walkId, step, salt + 777777L)
+
+  private[graft] def draw(walkId: Column, step: Int, deg: Column, seed: Long, salt: Long = 0L): Column =
+    pmod(wideMix(walkId, step, seed + salt), deg).cast("int")
 
   /** DeepWalk: `walksPerVertex` uniform walks of length `pathLength` from
     * every vertex. Output: (walk_id, start, path: Array[Long]).
@@ -137,7 +148,7 @@ object RandomWalks {
           explode(sequence(lit(0), lit(attempts - 1))).as("t"))
         .withColumn("pick", element_at(
           array((0 until attempts)
-            .map(a => pmod(mix(col("walk_id"), step, seed + a * 1009L), col("cur_deg")).cast("int")): _*),
+            .map(a => draw(col("walk_id"), step, col("cur_deg"), seed, a * 1009L)): _*),
           col("t") + 1))
         .join(idx, col("cur") === idx("src") && col("pick") === idx("idx"))
         .select(col("walk_id"), col("prev"), col("cur"), col("path"), col("t"),

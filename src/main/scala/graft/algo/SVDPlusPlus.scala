@@ -31,9 +31,20 @@ object SVDPlusPlus {
 
   final case class Result(vertices: DataFrame, mean: Double, squaredErrorPerEdge: Double)
 
-  private def detRandArray(vid: Column, rank: Int, salt: String): Column =
-    transform(sequence(lit(0), lit(rank - 1)),
-      i => pmod(xxhash64(vid, i, lit(salt)), lit(1000003L)).cast("double") / lit(1000003.0))
+  /** Deterministic factor init in [0, 1): PORTABLE integer arithmetic
+    * (squared-mix, same family as RandomWalks.mix / Similarity.planeComponent)
+    * instead of xxhash64, so the DuckDB oracle replays the exact SGD float
+    * sequence — this is what turns q_svdpp from rows-only into a full
+    * hash-match check. Mirrors [[graft.Oracles.detRandSql]]. */
+  private[graft] def detRand(vid: Column, i: Column, salt: Long): Column = {
+    val t = pmod(vid * lit(2654435761L) + i.cast("long") * lit(40503L) +
+      lit(salt * 97L + 11L), lit(1000003L))
+    pmod(t * t * lit(31L) + t * lit(7L) + i.cast("long"), lit(2000003L))
+      .cast("double") / lit(2000003.0)
+  }
+
+  private def detRandArray(vid: Column, rank: Int, salt: Long): Column =
+    transform(sequence(lit(0), lit(rank - 1)), i => detRand(vid, i, salt))
 
   private def dotArr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
@@ -65,8 +76,8 @@ object SVDPlusPlus {
       .groupBy("vid").agg(count(lit(1)).as("deg"), avg("rating").as("meanr"))
     var v = incident.select(
       col("vid"),
-      detRandArray(col("vid"), conf.rank, "p").as("p"),
-      detRandArray(col("vid"), conf.rank, "y").as("y"),
+      detRandArray(col("vid"), conf.rank, salt = 1L).as("p"),
+      detRandArray(col("vid"), conf.rank, salt = 2L).as("y"),
       (col("meanr") - u).as("bias"),
       (lit(1.0) / sqrt(col("deg"))).as("norm"))
       .localCheckpoint(false)
