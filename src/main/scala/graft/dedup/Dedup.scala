@@ -36,14 +36,49 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, jaccard >= minJaccard).
     * |A∩B| via shingle equi-join with partial agg; |A∪B| = |A|+|B|-|A∩B|.
-    */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, minJaccard: Double = 0.5): DataFrame = {
+    *
+    * `maxShingleDf` is the hot-shingle guard: the standalone shingle
+    * self-join goes QUADRATIC on any shingle shared by many documents (a
+    * df-10⁶ boilerplate shingle alone yields ~5·10¹¹ join rows). With
+    * Some(τ), shingles with document frequency > τ are dropped from
+    * CANDIDATE GENERATION only — surviving candidate pairs are still
+    * verified with the exact Jaccard over ALL their shingles, so reported
+    * scores are exact; what's traded away is recall of pairs whose ONLY
+    * common shingles are ubiquitous ones (which necessarily have low
+    * Jaccard against any doc with > τ·(shared shingles) total shingles —
+    * the standard df-cap argument). Default None = exact single-pass
+    * semantics (oracle parity). */
+  def ngramJaccard(
+      docs: DataFrame,
+      n: Int = 3,
+      minJaccard: Double = 0.5,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     val sh = shingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
+    val inter = maxShingleDf match {
+      case None =>
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("inter"))
+      case Some(tau) =>
+        val rare = sh.join(
+          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .where(col("df") <= tau).select("shingle"),
+          Seq("shingle"), "left_semi")
+        val candidates = rare.as("a")
+          .join(rare.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .distinct()
+        // exact |A∩B| verify over ALL shingles, candidates only
+        candidates
+          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+          .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
+          .where(col("shingle") === col("s2"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")

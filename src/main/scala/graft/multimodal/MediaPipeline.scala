@@ -29,8 +29,11 @@ object MediaPipeline {
       media_id: Long,
       kind: String,
       n_bytes: Int,
-      features: Array[Float], // STUB: hash-derived; real impl = decoded embedding
-      frame_offsets: Array[Long])
+      features: Array[Float],
+      frame_offsets: Array[Long],
+      decoded: Boolean) // false = stub fallback (compressed codec or
+                        // undecodable payload) — downstream consumers can
+                        // tell real features from deterministic stub noise
 
   /** Deterministic synthetic media table. Image rows carry REAL PPM-encoded
     * gradient images, audio rows REAL PCM-16 WAV sine waves (both decodable
@@ -100,18 +103,17 @@ object MediaPipeline {
           if (r.kind == "video")
             (0 until frames).map(i => r.duration_ms * i / frames).toArray
           else Array.empty[Long]
-        val feats = r.kind match {
+        val real: Option[Array[Float]] = r.kind match {
           case "image" =>
             RawCodecs.decodePpm(r.bytes)
               .map { case (w, h, rgb) => RawCodecs.poolLuminance(w, h, rgb, grid).padTo(dim, 0f) }
-              .getOrElse(decodeStub(r.bytes, dim))
           case "audio" =>
             RawCodecs.decodeWav(r.bytes)
               .map { case (_, samples) => RawCodecs.rmsWindows(samples, dim) }
-              .getOrElse(decodeStub(r.bytes, dim))
-          case _ => decodeStub(r.bytes, dim)
+          case _ => None
         }
-        MediaFeatures(r.media_id, r.kind, r.bytes.length, feats, offsets)
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          real.getOrElse(decodeStub(r.bytes, dim)), offsets, decoded = real.isDefined)
       }
     }
   }

@@ -36,7 +36,12 @@ object RawCodecs {
     // giant images (need stays well under Int.MaxValue)
     if (w <= 0 || h <= 0 || w > 16384 || h > 16384 || maxVal != 255 ||
       pos >= bytes.length) return None
-    pos += 1 // single whitespace after maxval
+    // the byte after maxval MUST be a single whitespace (PPM spec); a
+    // malformed header running straight into pixel data would otherwise
+    // silently shift every RGB value by one byte
+    val sep = bytes(pos)
+    if (sep != ' ' && sep != '\t' && sep != '\n' && sep != '\r') return None
+    pos += 1
     val need = w.toLong * h * 3
     if (bytes.length - pos < need) None
     else Some((w, h, java.util.Arrays.copyOfRange(bytes, pos, pos + need.toInt)))
@@ -48,29 +53,44 @@ object RawCodecs {
     header ++ rgb
   }
 
-  /** Canonical 44-byte RIFF/WAVE header, PCM-16 mono little-endian. */
+  /** RIFF/WAVE, PCM-16 mono little-endian. Walks the RIFF chunk list to
+    * locate the `fmt ` and `data` chunks, so legal files with extra chunks
+    * (LIST/INFO, fact) or a non-16-byte fmt chunk decode instead of silently
+    * falling back to the stub path (chunks are padded to even sizes per the
+    * RIFF spec). */
   def decodeWav(bytes: Array[Byte]): Option[(Int, Array[Short])] = {
     def le32(o: Int): Int =
       (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
         ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
     def tag(o: Int, s: String): Boolean =
       s.zipWithIndex.forall { case (c, i) => bytes(o + i) == c.toByte }
-    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE") || !tag(12, "fmt ") ||
-      !tag(36, "data")) return None
-    val audioFormat = (bytes(20) & 0xff) | ((bytes(21) & 0xff) << 8)
-    val channels = (bytes(22) & 0xff) | ((bytes(23) & 0xff) << 8)
-    val bits = (bytes(34) & 0xff) | ((bytes(35) & 0xff) << 8)
-    if (audioFormat != 1 || channels != 1 || bits != 16) return None
-    val sampleRate = le32(24)
-    if (sampleRate <= 0) return None
+    if (bytes.length < 12 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    var pos = 12
+    while (pos + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
+      val size = le32(pos + 4)
+      if (size < 0) return None // adversarial length field
+      if (tag(pos, "fmt ") && fmtOff < 0 && size >= 16) fmtOff = pos + 8
+      if (tag(pos, "data") && dataOff < 0) { dataOff = pos + 8; dataLen = size }
+      pos += 8 + size + (size & 1) // RIFF chunks pad to even length
+    }
+    if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > bytes.length) return None
+    val audioFormat = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val sampleRate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    if (audioFormat != 1 || channels != 1 || bits != 16 || sampleRate <= 0) return None
     // a corrupt/adversarial length field must clamp, not produce a negative
     // array size — the Option contract is what lets callers fall back cleanly
-    val dataLen = math.max(0, math.min(le32(40), bytes.length - 44))
-    val n = dataLen / 2
+    val safeLen = math.max(0, math.min(dataLen, bytes.length - dataOff))
+    val n = safeLen / 2
     val out = new Array[Short](n)
     var i = 0
     while (i < n) {
-      out(i) = (((bytes(44 + 2 * i) & 0xff)) | (bytes(45 + 2 * i) << 8)).toShort
+      out(i) = (((bytes(dataOff + 2 * i) & 0xff)) | (bytes(dataOff + 2 * i + 1) << 8)).toShort
       i += 1
     }
     Some((sampleRate, out))

@@ -38,11 +38,30 @@ object GraphOps {
     * `edgesWithNeighborAttrFromFile`, `GraphLoader.scala:75-134`): sorted,
     * deduped neighbor ids per vertex. `sort_array(collect_set)` replaces the
     * hand-written sort-merge `mergeSorted` union (`NeighN.scala:39-98`).
-    */
-  def adjacency(edges: DataFrame): DataFrame =
-    LinkGraph.symmetrize(edges)
-      .groupBy(col("src").as("vid"))
-      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+    *
+    * `maxNeighbors` is the hub guard (the reference's NeighN k-sampled
+    * neighbor tables, `NeighN.scala:9-136`): with Some(k), each vertex keeps
+    * a DETERMINISTIC uniform k-sample of its distinct neighbors
+    * ([[graft.functions.Samplers.detUniform]] ranking — seed-stable across
+    * runs and partitionings), so a 10⁷-degree hub emits a k-sized row instead
+    * of a multi-hundred-MB one. The ranking window external-sorts (spills),
+    * never materializing the full neighbor set in memory; only the ≤k
+    * surviving rows reach collect_list. Default None preserves the exact
+    * full-adjacency semantics (oracle parity). */
+  def adjacency(edges: DataFrame, maxNeighbors: Option[Int] = None): DataFrame = {
+    val dedup = LinkGraph.symmetrize(edges).distinct()
+    val capped = maxNeighbors match {
+      case None => dedup
+      case Some(k) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
+          .orderBy(graft.functions.Samplers.detUniform(col("src"), col("dst")).asc,
+            col("dst").asc)
+        dedup.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+          .select("src", "dst")
+    }
+    capped.groupBy(col("src").as("vid"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+  }
 
   /** `Graph.reverse` (`Graph.scala:322-330`). */
   def reverse(edges: DataFrame): DataFrame =
@@ -118,12 +137,28 @@ object GraphOps {
     edges.withColumn(colName, f)
 
   /** Per-neighbor-type adjacency (the reference's `NeighTN` typed neighbor
-    * tables, `GC/core/data/NeighTN.scala:10-45`): (vid, kind, neighbors). */
-  def typedAdjacency(edges: DataFrame, vertices: DataFrame): DataFrame =
-    LinkGraph.symmetrize(edges)
+    * tables, `GC/core/data/NeighTN.scala:10-45`): (vid, kind, neighbors).
+    * `maxNeighbors` = per-(vid, kind) deterministic k-sample hub guard, same
+    * contract as [[adjacency]]. */
+  def typedAdjacency(
+      edges: DataFrame,
+      vertices: DataFrame,
+      maxNeighbors: Option[Int] = None): DataFrame = {
+    val typed = LinkGraph.symmetrize(edges)
       .join(vertices.select(col("vid").as("dst"), col("kind")), "dst")
-      .groupBy(col("src").as("vid"), col("kind"))
-      .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+      .select("src", "kind", "dst").distinct()
+    val capped = maxNeighbors match {
+      case None => typed
+      case Some(k) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("src", "kind")
+          .orderBy(graft.functions.Samplers.detUniform(col("src"), col("dst")).asc,
+            col("dst").asc)
+        typed.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+          .select("src", "kind", "dst")
+    }
+    capped.groupBy(col("src").as("vid"), col("kind"))
+      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
+  }
 
   def numVertices(vertices: DataFrame): Long = vertices.count()
   def numEdges(edges: DataFrame): Long = edges.count()

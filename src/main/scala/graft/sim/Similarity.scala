@@ -28,11 +28,29 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Embedding dimensionality — one scalar probe (dims are uniform per
-    * table by contract). Empty table → 1, so downstream plans stay valid
-    * (and correctly empty) instead of crashing on head(). */
+    * table by contract; a ragged table surfaces as ANSI INVALID_ARRAY_INDEX
+    * in the flattened plan — use [[countAndDim]] where a full scan already
+    * happens to get the clear error instead). Empty table → 1, so downstream
+    * plans stay valid (and correctly empty) instead of crashing on head(). */
   private def embDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding")).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
+
+  /** (row count, dim) in ONE full-scan job, failing LOUDLY on ragged tables
+    * (min size ≠ max size) — the scan is free where a count() already
+    * happens (annTopKAuto), and the error names the actual problem rather
+    * than an INVALID_ARRAY_INDEX deep inside a join. */
+  private def countAndDim(embeddings: DataFrame): (Long, Int) = {
+    val r = embeddings.agg(count(lit(1)),
+      min(size(col("embedding"))), max(size(col("embedding")))).head()
+    if (r.getLong(0) == 0L) (0L, 1)
+    else {
+      require(r.getInt(1) == r.getInt(2),
+        s"ragged embedding column: sizes in [${r.getInt(1)}, ${r.getInt(2)}] — " +
+          "similarity operators require a uniform dimension per table")
+      (r.getLong(0), r.getInt(2))
+    }
+  }
 
   /** (vec_id, nrm, x0..x{dim-1}): flattened unit of all similarity plans. */
   private def flat(embeddings: DataFrame, dim: Int): DataFrame =
@@ -115,10 +133,17 @@ object Similarity {
       embeddings: DataFrame,
       k: Int = 10,
       numBits: Int = 16,
-      bandBits: Int = 4): DataFrame = {
+      bandBits: Int = 4): DataFrame =
+    annTopKDim(embeddings, embDim(embeddings), k, numBits, bandBits)
+
+  private def annTopKDim(
+      embeddings: DataFrame,
+      dim: Int,
+      k: Int,
+      numBits: Int,
+      bandBits: Int): DataFrame = {
     require(numBits % bandBits == 0)
     val bands = numBits / bandBits
-    val dim = embDim(embeddings)
     // skinny banding: only (vec_id, band, bh) travels through the bucket
     // self-join; embeddings re-join by vec_id for the exact-cosine verify
     val banded = rpSignatures(embeddings, numBits).select(col("vec_id"),
@@ -150,7 +175,10 @@ object Similarity {
     * 16-bit default; at n=1e9 with occupancy 1024 it picks 20-bit bands
     * (≈10⁶ buckets/band, ~5·10⁵ candidate pairs per bucket). */
   def annTopKAuto(embeddings: DataFrame, k: Int = 10, targetOccupancy: Long = 256L): DataFrame = {
-    val n = math.max(1L, embeddings.count())
+    // ONE scan job yields count + dim + the ragged-table check (previously a
+    // separate count() plus a per-call take(1) dim probe)
+    val (n0, dim) = countAndDim(embeddings)
+    val n = math.max(1L, n0)
     val bandBits = math.min(15, math.max(4,
       math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
     val bands = 4
@@ -158,7 +186,7 @@ object Similarity {
     // expected candidate pairs per band ≈ n · occupancy / 2
     println(f"[annTopKAuto] n=$n bandBits=$bandBits bands=$bands " +
       f"expected bucket occupancy=$occupancy%.1f candidate pairs/band≈${n * occupancy / 2}%.0f")
-    annTopK(embeddings, k, numBits = bands * bandBits, bandBits = bandBits)
+    annTopKDim(embeddings, dim, k, numBits = bands * bandBits, bandBits = bandBits)
   }
 
   /** Embedding-cosine near-dup pairs (vec_a < vec_b, cosine >= minCosine) —

@@ -72,4 +72,38 @@ class GraphOpsExtraSpec extends SparkTestBase {
     val convRows = rows.filter(r => kinds(r.getLong(0)) == "conv")
     assert(convRows.nonEmpty && convRows.forall(_.getString(1) == "tool"))
   }
+
+  test("adjacency cap: k larger than every degree reproduces full adjacency") {
+    val g = GraphFixture.graph
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(norm(GraphOps.adjacency(g.edges, Some(100000))) ==
+      norm(GraphOps.adjacency(g.edges)))
+    val typed = GraphOps.typedAdjacency(g.edges, g.vertices, Some(100000)).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2).toList).toMap
+    val full = GraphOps.typedAdjacency(g.edges, g.vertices).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getSeq[Long](2).toList).toMap
+    assert(typed == full)
+  }
+
+  test("adjacency cap is hub-safe: 10^6-degree hub emits a k-sized row") {
+    // uncapped, this hub is ONE multi-MB collect_list row (the round-2
+    // verdict's remaining 100×-scale hazard); capped, the ranking window
+    // external-sorts and only k rows per vertex reach the aggregate
+    val n = 1000000L
+    val edges = spark.range(1, n + 1)
+      .select(lit(0L).as("src"), col("id").as("dst"), lit(1L).as("weight"))
+    val adj = GraphOps.adjacency(edges, Some(32)).cache()
+    val hub = adj.where(col("vid") === 0L).head()
+    val hubNbrs = hub.getSeq[Long](1)
+    assert(hubNbrs.length == 32)
+    assert(hubNbrs.forall(d => d >= 1L && d <= n))
+    assert(hubNbrs.toList == hubNbrs.sorted.toList)
+    // leaves keep their single real neighbor; sample is deterministic
+    assert(adj.where(col("vid") =!= 0L).count() == n)
+    val again = GraphOps.adjacency(edges.repartition(13), Some(32))
+      .where(col("vid") === 0L).head().getSeq[Long](1)
+    adj.unpersist()
+    assert(again.toList == hubNbrs.toList, "capped sample must be partition-invariant")
+  }
 }

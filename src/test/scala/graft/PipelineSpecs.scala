@@ -62,6 +62,27 @@ class DedupSpec extends SparkTestBase {
     val unrelated = (1 to 20).map(i => ham(sig(0L), sig(i.toLong))).min
     assert(near < unrelated, s"near-dup hamming $near !< unrelated $unrelated")
   }
+
+  test("ngramJaccard df-cap: exact output for large tau, bounded candidates on hot shingles") {
+    // a generous cap must not change the result (scores are verified exactly
+    // either way; only candidate generation is pruned)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs(Dedup.ngramJaccard(docs, 3, 0.5, maxShingleDf = Some(1000000L))) ==
+      pairs(Dedup.ngramJaccard(docs, 3, 0.5)))
+    // planted ubiquitous shingle: every doc shares one boilerplate trigram +
+    // unique content. Uncapped candidate generation goes quadratic on it
+    // (n(n-1)/2 = 435 pairs); a df-cap of 5 removes it, so NO candidates
+    // survive and the join stays linear
+    val boiler = (0 until 30).map { i =>
+      (i.toLong, "shared boiler plate " + (0 until 50).map(j => s"u${i}x$j").mkString(" "))
+    }
+    val hot = spark.createDataFrame(boiler).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(hot, 3, 0.001).count()
+    val capped = Dedup.ngramJaccard(hot, 3, 0.001, maxShingleDf = Some(5L)).count()
+    assert(uncapped == 435L, s"fixture should pair every doc, got $uncapped")
+    assert(capped == 0L, s"df-cap must prune hot-shingle-only candidates, got $capped")
+  }
 }
 
 class SimilaritySpec extends SparkTestBase {

@@ -85,6 +85,26 @@ class RandomWalksSpec extends SparkTestBase {
     assert(badLeafStarts == 0L && badHubStarts == 0L)
   }
 
+  test("wide draw reaches neighbor indices beyond 2000003 and stays near-uniform") {
+    // a single mix() is bounded by 2000003, so `mix mod deg` could NEVER
+    // select idx >= 2000003 on a mega-hub (and carried ~2x modulo bias near
+    // deg 10^6) — this spec rejects that scheme
+    val deg = 5000000L
+    val draws = spark.range(0, 20000)
+      .select(RandomWalks.draw(col("id"), 1, lit(deg), 42L).cast("long").as("d"))
+      .cache()
+    val mx = draws.agg(max(col("d"))).head().getLong(0)
+    val mn = draws.agg(min(col("d"))).head().getLong(0)
+    assert(mn >= 0L && mx < deg)
+    assert(mx >= 2000003L, s"draw never exceeded 2000003 (max=$mx) — range not widened")
+    // rough uniformity: 5 equal buckets each within 25% of expected mass
+    val buckets = draws.groupBy((col("d") * 5 / deg).cast("long").as("b")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    draws.unpersist()
+    assert(buckets.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    buckets.values.foreach(c => assert(math.abs(c - 4000.0) < 1000.0, s"bucket skew: $buckets"))
+  }
+
   test("metaPath2Vec alternates vertex kinds per the meta path") {
     val g = GraphFixture.graph
     val kinds = g.vertices.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
@@ -128,6 +148,47 @@ class MediaPipelineSpec extends SparkTestBase {
     val commented = ("P6\n# a comment\n 2 2\n255\n").getBytes("US-ASCII") ++ rgb
     assert(RawCodecs.decodePpm(commented).exists(_._1 == 2))
     assert(RawCodecs.decodePpm("nonsense".getBytes).isEmpty)
+    // header running straight into pixel data (no whitespace after maxval)
+    // must be REJECTED, not silently shifted by one byte
+    val noSep = "P6 2 2 255".getBytes("US-ASCII") ++ Array.fill[Byte](13)(7)
+    assert(RawCodecs.decodePpm(noSep).isEmpty)
+  }
+
+  test("WAV decode walks the RIFF chunk list (LIST/fact chunks, 18-byte fmt)") {
+    import graft.multimodal.RawCodecs
+    val rate = 8000
+    val samples = Array.tabulate(64)(i => (i * 100).toShort)
+    // canonical encode, then rebuild with a LIST chunk and an 18-byte fmt
+    // (cbSize=0) BEFORE data — a legal layout the old fixed-offset parser
+    // silently rejected into the stub path
+    val listBody = "INFOtest!".getBytes("US-ASCII") // odd size → exercises padding
+    val fmt18 = java.nio.ByteBuffer.allocate(18).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(1).putShort(1).putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .putShort(0).array()
+    val dataLen = samples.length * 2
+    val body = java.nio.ByteBuffer
+      .allocate(4 + 8 + listBody.length + 1 + 8 + 18 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    body.put("WAVE".getBytes("US-ASCII"))
+    body.put("LIST".getBytes("US-ASCII")).putInt(listBody.length).put(listBody).put(0.toByte)
+    body.put("fmt ".getBytes("US-ASCII")).putInt(18).put(fmt18)
+    body.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(body.putShort)
+    val payload = body.array()
+    val wav = java.nio.ByteBuffer.allocate(8 + payload.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(payload.length).put(payload).array()
+    val Some((gotRate, dec)) = RawCodecs.decodeWav(wav)
+    assert(gotRate == rate && dec.toSeq == samples.toSeq)
+  }
+
+  test("decoded flag: real raw decode true, compressed-stub false") {
+    val media = MediaPipeline.syntheticMedia(spark, 12)
+    val feats = MediaPipeline.extractFeatures(media, dim = 16).collect()
+    feats.foreach { f =>
+      if (f.kind == "video") assert(!f.decoded, s"video ${f.media_id} must be stub")
+      else assert(f.decoded, s"${f.kind} ${f.media_id} must be real decode")
+    }
   }
 
   test("WAV decode is real: round-trip + sine RMS ~ A/sqrt(2)") {
