@@ -64,6 +64,112 @@ object ScalingBench {
     def thrMean: Double = symEdges / meanIter
   }
 
+  /** CSR-packed mapPartitions superstep — the A/B the north star names
+    * ("range-partitioned CSR-packed adjacency partitions") against the
+    * shipped columnar-cache Dataset join. Each partition of the symmetrized
+    * edge set (hash-partitioned by src, so a vertex's full adjacency is
+    * co-located) is packed into sorted primitive arrays:
+    * (srcs[], offsets[], dsts[]) — an in-memory CSR block. A superstep is
+    *   zipPartitions(csr, ranks):   rank lookup via an open-address
+    *                                long→double map, emit (dst, r/deg)
+    *   reduceByKey(part):           the ONE shuffle per iteration
+    *   ranks.leftOuterJoin(msgs):   narrow (co-partitioned) vprog
+    * i.e. the same one-exchange-per-superstep dataflow as the Dataset loop,
+    * minus Tungsten (row objects + boxing on the shuffle) plus hand-packed
+    * adjacency (no columnar batch decode). Whichever wins ships; the loser
+    * stays documented in BASELINE.md §f. */
+  private def measureCsr(cores: Int, parts: Int, adjPath: String, iters: Int): Measured = {
+    val spark = session(cores, parts)
+    val sc = spark.sparkContext
+    val part = new org.apache.spark.HashPartitioner(parts)
+    val edgePairs = spark.read.parquet(adjPath)
+      .select(col("src"), col("dst")).rdd
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .partitionBy(part)
+    val csr = edgePairs.mapPartitions({ it =>
+      // pack (src, dst) into one long each for a primitive-array sort: vids
+      // of the synthetic graphs are dense and < 2^31
+      val buf = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
+      while (it.hasNext) {
+        val (s, d) = it.next()
+        require(s < Int.MaxValue && d < Int.MaxValue, "CSR lab assumes vids < 2^31")
+        buf += (s << 32) | d
+      }
+      val packed = buf.toArray
+      java.util.Arrays.sort(packed)
+      val n = packed.length
+      val srcs = new scala.collection.mutable.ArrayBuffer[Long]
+      val offs = new scala.collection.mutable.ArrayBuffer[Int]
+      val dsts = new Array[Long](n)
+      var i = 0
+      var prev = Long.MinValue
+      while (i < n) {
+        val s = packed(i) >>> 32
+        dsts(i) = packed(i) & 0xffffffffL
+        if (s != prev) { srcs += s; offs += i; prev = s }
+        i += 1
+      }
+      offs += n
+      Iterator.single((srcs.toArray, offs.toArray, dsts))
+    }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = csr.map(_._3.length.toLong).sum().toLong
+    var ranks = csr.mapPartitions({ it =>
+      val (srcs, _, _) = it.next()
+      srcs.iterator.map(s => (s, 1.0))
+    }, preservesPartitioning = true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+    val perIter = Array.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val t0 = System.nanoTime()
+      val contribs = csr.zipPartitions(ranks, preservesPartitioning = false) { (cit, rit) =>
+        val (srcs, offs, dsts) = cit.next()
+        // open-address long→double map (no boxing on the hot lookup path)
+        val cap = java.lang.Integer.highestOneBit(math.max(16, srcs.length * 2) * 2 - 1) * 2
+        val mask = cap - 1
+        val keys = new Array[Long](cap)
+        val vals = new Array[Double](cap)
+        val used = new Array[Boolean](cap)
+        while (rit.hasNext) {
+          val (k, v) = rit.next()
+          var i = (scala.util.hashing.byteswap64(k) & mask).toInt
+          while (used(i) && keys(i) != k) i = (i + 1) & mask
+          keys(i) = k; vals(i) = v; used(i) = true
+        }
+        new Iterator[(Long, Double)] {
+          private var si = 0
+          private var ei = 0
+          private var contrib = 0.0
+          def hasNext: Boolean = ei < dsts.length
+          def next(): (Long, Double) = {
+            if (ei == offs(si)) { // entering vertex si's slice
+              val s = srcs(si)
+              var i = (scala.util.hashing.byteswap64(s) & mask).toInt
+              while (used(i) && keys(i) != s) i = (i + 1) & mask
+              contrib = (if (used(i)) vals(i) else 0.0) / (offs(si + 1) - offs(si))
+              si += 1
+            }
+            val out = (dsts(ei), contrib)
+            ei += 1
+            out
+          }
+        }
+      }
+      val msgs = contribs.reduceByKey(part, _ + _) // the one shuffle/superstep
+      val next = ranks.leftOuterJoin(msgs) // narrow: both sides on `part`
+        .mapValues { case (r, m) => 0.15 * r + 0.85 * m.getOrElse(0.0) }
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      ranks.unpersist(false)
+      ranks = next
+      perIter += (System.nanoTime() - t0) / 1e9
+    }
+    val times = perIter.result()
+    stop(spark)
+    Measured(nEdges, times.sum / times.length, times.min)
+  }
+
   private def measure(cores: Int, parts: Int, adjPath: String, iters: Int,
       packed: Boolean = false): Measured = {
     val spark = session(cores, parts)
@@ -116,16 +222,18 @@ object ScalingBench {
     // scale): the round-2 granularity sweep measured 64 parts as 2 coarse
     // waves at 32 cores (stragglers dominate the tail) — 256 parts is ~16%
     // faster at n32 and neutral at n8; 512 is flat vs 256.
+    // (Round-2's int32-packed arms measured negative and are settled —
+    // BASELINE.md §d; round 3 A/Bs the CSR mapPartitions superstep instead.)
     val s8 = measure(8, 64, bigPath, 6)
     val s32 = measure(32, 256, bigPath, 6)
-    val s8p = measure(8, 64, bigPath, 6, packed = true)
-    val s32p = measure(32, 256, bigPath, 6, packed = true)
+    val c8 = measureCsr(8, 64, bigPath, 6)
+    val c32 = measureCsr(32, 256, bigPath, 6)
     val m2 = measure(2, 32, medPath, 5)
     val m8 = measure(8, 32, medPath, 8)
 
     def eff(n: Measured, n4: Measured) = (n4.thrMin / (4.0 * n.thrMin), n4.thrMean / (4.0 * n.thrMean))
     val (big832min, big832mean) = eff(s8, s32)
-    val (big832minP, big832meanP) = eff(s8p, s32p)
+    val (big832minC, big832meanC) = eff(c8, c32)
     val (med28min, med28mean) = eff(m2, m8)
 
     def block(name: String, m: Measured, cores: Int) =
@@ -136,6 +244,6 @@ object ScalingBench {
     // per-executor scaling rather than DRAM saturation. The 8→32 big-graph
     // pair is reported alongside, with both regimes explained in BASELINE.md.
     println(
-      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f},"strong_8_32_big":{"min":$big832min%.3f,"mean":$big832mean%.3f},"strong_8_32_big_intpacked":{"min":$big832minP%.3f,"mean":$big832meanP%.3f}},${block("n8_big", s8, 8)},${block("n32_big", s32, 32)},${block("n8_big_intpacked", s8p, 8)},${block("n32_big_intpacked", s32p, 32)},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)}}""")
+      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f},"strong_8_32_big":{"min":$big832min%.3f,"mean":$big832mean%.3f},"strong_8_32_big_csr":{"min":$big832minC%.3f,"mean":$big832meanC%.3f}},${block("n8_big", s8, 8)},${block("n32_big", s32, 32)},${block("n8_big_csr", c8, 8)},${block("n32_big_csr", c32, 32)},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)}}""")
   }
 }

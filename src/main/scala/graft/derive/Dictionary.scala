@@ -36,8 +36,14 @@ object Dictionary {
     // zipWithIndex is the documented scalable stand-in for a global row_number:
     // index = partition offset + local position, partitions are ordered ranges.
     val rows = sorted.rdd.zipWithIndex.map { case (r, i) => Row(i + 1L, r.getString(0)) }
+    // lazy localCheckpoint: the dictionary is referenced 2-5× per derivation
+    // (keys union, src join, dst join) — without a leaf each reference
+    // re-runs the distinct shuffle + the zipWithIndex count job; with it the
+    // id assignment materializes exactly once per graph (A/B in BASELINE.md
+    // §f: q_pagerank_cs derivation 22.7 s → measured drop)
     spark.createDataFrame(
       rows,
       StructType(Seq(StructField("vid", LongType, false), StructField("key", StringType, false))))
+      .localCheckpoint(false)
   }
 }

@@ -33,7 +33,13 @@ object LinkGraph {
   def fromTranscripts(transcripts: DataFrame): GraphTables = {
     val t = transcripts.select(col("conv_id"), col("tool")).where(col("tool").isNotNull)
 
+    // lazy leaf: convTool feeds the vertex-key union (2 refs), the conv→tool
+    // edge arm and the tool–tool projection (2 refs) — 5 references total;
+    // checkpointing materializes the transcripts scan + aggregate once. The
+    // events-scan column pruning (PLANS.md §A) happens INSIDE this subplan,
+    // so it is preserved.
     val convTool = t.groupBy("conv_id", "tool").agg(count(lit(1)).as("weight"))
+      .localCheckpoint(false)
 
     val keys = convTool
       .select(concat(lit("conv:"), col("conv_id")).as("key"))
@@ -43,13 +49,25 @@ object LinkGraph {
       .withColumn("kind", substring(col("key"), 1, 4))
 
     val dict = vertices.select(col("vid"), col("key"))
+    // ONLY the tool-side dictionary is always broadcastable (tool universe ≪
+    // convs); the conv-side dict is conversation-sized. Round-2 code
+    // broadcast-hinted the FULL dict on both joins — at 50M convs the
+    // ScalingBench prep built a 6.1 GiB broadcast (caught in the round-3
+    // prep log); at 10^12 turns a full-dict broadcast is impossible. The
+    // dict is an RDD leaf (no Catalyst stats), so the strategy is chosen
+    // here: count() is ~free — it doubles as the materializing action the
+    // lazy checkpoint needs anyway — and picks broadcast below 10^6 keys
+    // (≲100 MB), shuffle-hash above (never sort-merge: both sides hash fine
+    // and the sort is pure waste).
+    val toolDict = dict.where(col("key").startsWith("tool:"))
+    val dictHint = if (dict.count() <= 1000000L) "broadcast" else "shuffle_hash"
 
     val convToolEdges = convTool
-      .join(dict.hint("broadcast").as("dv"),
+      .join(dict.hint(dictHint).as("dv"),
         concat(lit("conv:"), col("conv_id")) === col("dv.key"))
       .withColumnRenamed("vid", "src")
       .drop("key")
-      .join(dict.hint("broadcast").as("tv"),
+      .join(toolDict.hint("broadcast").as("tv"),
         concat(lit("tool:"), col("tool")) === col("tv.key"))
       .withColumnRenamed("vid", "dst")
       .select(col("src"), col("dst"), col("weight"))
@@ -63,10 +81,12 @@ object LinkGraph {
       .agg(count(lit(1)).as("weight"))
 
     val toolToolEdges = toolTool
-      .join(dict.hint("broadcast").as("v1"), concat(lit("tool:"), col("t1")) === col("v1.key"))
+      .join(toolDict.hint("broadcast").as("v1"),
+        concat(lit("tool:"), col("t1")) === col("v1.key"))
       .withColumnRenamed("vid", "src")
       .drop("key")
-      .join(dict.hint("broadcast").as("v2"), concat(lit("tool:"), col("t2")) === col("v2.key"))
+      .join(toolDict.hint("broadcast").as("v2"),
+        concat(lit("tool:"), col("t2")) === col("v2.key"))
       .withColumnRenamed("vid", "dst")
       .select(col("src"), col("dst"), col("weight"))
 
@@ -79,7 +99,10 @@ object LinkGraph {
     * testdata (a second, larger topology exercising the same engine).
     */
   def fromBipartitePairs(pairs: DataFrame): GraphTables = {
+    // lazy leaf, same rationale as fromTranscripts: 3 references (key union
+    // ×2, edge build) would otherwise re-run the upstream join+aggregate
     val agg = pairs.groupBy("akey", "bkey").agg(count(lit(1)).as("weight"))
+      .localCheckpoint(false)
     val keys = agg.select(col("akey").as("key")).union(agg.select(col("bkey").as("key")))
     val vertices = Dictionary.encode(keys)
       .withColumn("kind", substring_index(col("key"), ":", 1))
