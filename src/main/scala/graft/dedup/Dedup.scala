@@ -53,7 +53,9 @@ object Dedup {
       n: Int = 3,
       minJaccard: Double = 0.5,
       maxShingleDf: Option[Long] = None): DataFrame = {
-    val sh = shingles(docs, n)
+    // lazy leaf: sh is referenced 3-4× (sizes, both join sides, df filter);
+    // without it each reference re-runs tokenize + explode + distinct
+    val sh = shingles(docs, n).localCheckpoint(false)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = maxShingleDf match {
       case None =>
@@ -93,9 +95,11 @@ object Dedup {
     * over shingles of hash_i(shingle). ONE aggregate with numHashes min
     * columns — no per-hash row explosion (the previous posexplode form
     * shuffled 64× the shingle count). */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame = {
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame =
+    signaturesFromShingles(shingles(docs, n), numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     import graft.functions.PortableHash
-    val sh = shingles(docs, n)
     val fps = sh.select(col("doc_id"), PortableHash.md5PackMod(col("shingle")).as("fp"))
     val aggs = (0 until numHashes).map(i =>
       min(PortableHash.universal(i, col("fp"))).as(s"mh$i"))
@@ -124,10 +128,16 @@ object Dedup {
       minJaccard: Double = 0.5): DataFrame = {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, n, numHashes)
+    // ONE shingle table (lazy leaf) feeds both the signature build and the
+    // exact-Jaccard verify; banded is a leaf too because the candidate
+    // self-join references it twice (each side would re-run the 64-min
+    // aggregate)
+    val sh = shingles(docs, n).localCheckpoint(false)
+    val sig = signaturesFromShingles(sh, numHashes)
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => bandHash(b, rows)): _*))
         .as(Seq("band", "bh")))
+      .localCheckpoint(false)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -135,7 +145,6 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard (join back to shingles)
-    val sh = shingles(docs, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
@@ -174,9 +183,12 @@ object Dedup {
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val sig = simhashSignatures(docs)
+    // leaf: the candidate self-join references banded twice — each side
+    // would re-run the 60-vote signature aggregate
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("band", "bh")))
+      .localCheckpoint(false)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

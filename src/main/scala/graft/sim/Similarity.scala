@@ -145,11 +145,14 @@ object Similarity {
     require(numBits % bandBits == 0)
     val bands = numBits / bandBits
     // skinny banding: only (vec_id, band, bh) travels through the bucket
-    // self-join; embeddings re-join by vec_id for the exact-cosine verify
+    // self-join; embeddings re-join by vec_id for the exact-cosine verify.
+    // Lazy leaf: the self-join references banded twice — each side would
+    // re-run the full numBits-projection signature aggregate
     val banded = rpSignatures(embeddings, numBits).select(col("vec_id"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band", "bh")))
+      .localCheckpoint(false)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -238,6 +241,7 @@ object Similarity {
       posexplode(array((0 until bands).map(b =>
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band", "bh")))
+      .localCheckpoint(false) // self-joined twice, same rationale as annTopK
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
