@@ -116,6 +116,22 @@ object Oracles {
        SELECT src AS vid, string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
        FROM (SELECT DISTINCT src, dst FROM sym) GROUP BY src ORDER BY vid"""
 
+  /** Hub-capped adjacency: deterministic 3-sample per vertex — ranked by the
+    * SAME portable detUniform arithmetic as graft.functions.Samplers, so the
+    * sample replays exactly. */
+  val qAdjacencyCapped: String =
+    s"""WITH $graphCtes, dedup AS MATERIALIZED (
+         SELECT DISTINCT src, dst FROM sym
+       ), ranked AS MATERIALIZED (
+         SELECT src, dst,
+                ROW_NUMBER() OVER (PARTITION BY src ORDER BY
+                  (CAST((src * 2654435761 + dst * 40503 + 7) % 1000003 + 1 AS DOUBLE)
+                     / CAST(1000004.0 AS DOUBLE)) ASC, dst ASC) AS rnk
+         FROM dedup
+       )
+       SELECT src AS vid, string_agg(CAST(dst AS VARCHAR), ',' ORDER BY dst) AS neighbors
+       FROM ranked WHERE rnk <= 3 GROUP BY src ORDER BY vid"""
+
   val qPagerank: String =
     s"""WITH $graphCtes, ${pagerankChain(10)}
        SELECT vid, ROUND(pr, 6) AS pr FROM r10 ORDER BY vid"""
@@ -490,6 +506,27 @@ object Oracles {
          JOIN sizes sa ON sa.doc_id = i.doc_a
          JOIN sizes sb ON sb.doc_id = i.doc_b
        ) x WHERE jaccard >= CAST(0.5 AS DOUBLE) ORDER BY doc_a, doc_b"""
+
+  /** df-capped n-gram Jaccard: shingles with document frequency > 5 are
+    * excluded from CANDIDATE generation; surviving pairs carry the exact
+    * full-shingle Jaccard — mirrors Dedup.ngramJaccard(maxShingleDf). */
+  val qNgramJaccardDf: String =
+    s"""WITH $shingleCtes, hot AS MATERIALIZED (
+         SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5
+       ), rare AS MATERIALIZED (
+         SELECT s.doc_id, s.shingle FROM sh s JOIN hot h ON h.shingle = s.shingle
+       ), cand AS MATERIALIZED (
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       )
+       SELECT i.doc_a, i.doc_b,
+              ROUND(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+       FROM cand c
+       JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       JOIN sizes sa ON sa.doc_id = c.doc_a
+       JOIN sizes sb ON sb.doc_id = c.doc_b
+       WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.3 AS DOUBLE)
+       ORDER BY i.doc_a, i.doc_b"""
 
   /** MinHash+LSH: recomputes the portable md5-nibble shingle fingerprints,
     * the 64 universal hashes (same a_i/b_i coefficients from

@@ -61,6 +61,12 @@ object SparkEntry {
           .as("neighbors"))
         .orderBy("vid")),
 
+    "q_adjacency_capped" -> ((s, d) => // hub-capped variant: deterministic 3-sample
+      GraphOps.adjacency(graph(s, d).edges, maxNeighbors = Some(3))
+        .select(col("vid"),
+          array_join(transform(col("neighbors"), _.cast("string")), ",").as("neighbors"))
+        .orderBy("vid")),
+
     "q_pagerank" -> ((s, d) =>
       PageRank.runFixed(graph(s, d).edges, iterations = 10)
         .select(col("vid"), round(col("pr"), 6).as("pr"))
@@ -199,6 +205,12 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    "q_ngram_jaccard_df" -> ((s, d) => // df-capped candidates, exact verify
+      graft.dedup.Dedup.ngramJaccard(docs(s, d), n = 3, minJaccard = 0.3,
+        maxShingleDf = Some(5L))
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     "q_minhash_lsh" -> ((s, d) =>
       graft.dedup.Dedup.minhashLsh(docs(s, d), minJaccard = 0.5)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
@@ -249,6 +261,8 @@ object SparkEntry {
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,
     "q_adjacency" -> Oracles.qAdjacency,
+    "q_adjacency_capped" -> Oracles.qAdjacencyCapped,
+    "q_ngram_jaccard_df" -> Oracles.qNgramJaccardDf,
     "q_pagerank" -> Oracles.qPagerank,
     "q_pagerank_cs" -> Oracles.qPagerankCs,
     "q_cc" -> Oracles.qCc,
