@@ -69,13 +69,18 @@ object RawCodecs {
     var fmtOff = -1
     var dataOff = -1
     var dataLen = 0
-    var pos = 12
+    // pos is Long: an adversarial chunk size near Int.MaxValue would
+    // overflow an Int cursor PAST the `size < 0` guard and turn the loop
+    // bound check into an out-of-bounds read (crashing the Spark task
+    // instead of honoring the Option contract)
+    var pos = 12L
     while (pos + 8 <= bytes.length && (fmtOff < 0 || dataOff < 0)) {
-      val size = le32(pos + 4)
+      val p = pos.toInt
+      val size = le32(p + 4)
       if (size < 0) return None // adversarial length field
-      if (tag(pos, "fmt ") && fmtOff < 0 && size >= 16) fmtOff = pos + 8
-      if (tag(pos, "data") && dataOff < 0) { dataOff = pos + 8; dataLen = size }
-      pos += 8 + size + (size & 1) // RIFF chunks pad to even length
+      if (tag(p, "fmt ") && fmtOff < 0 && size >= 16) fmtOff = p + 8
+      if (tag(p, "data") && dataOff < 0) { dataOff = p + 8; dataLen = size }
+      pos += 8L + size + (size & 1) // RIFF chunks pad to even length
     }
     if (fmtOff < 0 || dataOff < 0 || fmtOff + 16 > bytes.length) return None
     val audioFormat = le16(fmtOff)

@@ -48,20 +48,21 @@ object GraphOps {
     * never materializing the full neighbor set in memory; only the ≤k
     * surviving rows reach collect_list. Default None preserves the exact
     * full-adjacency semantics (oracle parity). */
-  def adjacency(edges: DataFrame, maxNeighbors: Option[Int] = None): DataFrame = {
-    val dedup = LinkGraph.symmetrize(edges).distinct()
-    val capped = maxNeighbors match {
-      case None => dedup
-      case Some(k) =>
+  def adjacency(edges: DataFrame, maxNeighbors: Option[Int] = None): DataFrame =
+    maxNeighbors match {
+      case None => // single shuffle: collect_set dedups with map-side combine
+        LinkGraph.symmetrize(edges)
+          .groupBy(col("src").as("vid"))
+          .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+      case Some(k) => // dedup shuffle is only needed ahead of the rank window
         val w = org.apache.spark.sql.expressions.Window.partitionBy("src")
           .orderBy(graft.functions.Samplers.detUniform(col("src"), col("dst")).asc,
             col("dst").asc)
-        dedup.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-          .select("src", "dst")
+        LinkGraph.symmetrize(edges).distinct()
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+          .groupBy(col("src").as("vid"))
+          .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
     }
-    capped.groupBy(col("src").as("vid"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
-  }
 
   /** `Graph.reverse` (`Graph.scala:322-330`). */
   def reverse(edges: DataFrame): DataFrame =
@@ -146,18 +147,19 @@ object GraphOps {
       maxNeighbors: Option[Int] = None): DataFrame = {
     val typed = LinkGraph.symmetrize(edges)
       .join(vertices.select(col("vid").as("dst"), col("kind")), "dst")
-      .select("src", "kind", "dst").distinct()
-    val capped = maxNeighbors match {
-      case None => typed
-      case Some(k) =>
+    maxNeighbors match {
+      case None => // single shuffle: collect_set dedups with map-side combine
+        typed.groupBy(col("src").as("vid"), col("kind"))
+          .agg(sort_array(collect_set(col("dst"))).as("neighbors"))
+      case Some(k) => // dedup shuffle only ahead of the rank window
         val w = org.apache.spark.sql.expressions.Window.partitionBy("src", "kind")
           .orderBy(graft.functions.Samplers.detUniform(col("src"), col("dst")).asc,
             col("dst").asc)
-        typed.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-          .select("src", "kind", "dst")
+        typed.select("src", "kind", "dst").distinct()
+          .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+          .groupBy(col("src").as("vid"), col("kind"))
+          .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
     }
-    capped.groupBy(col("src").as("vid"), col("kind"))
-      .agg(sort_array(collect_list(col("dst"))).as("neighbors"))
   }
 
   def numVertices(vertices: DataFrame): Long = vertices.count()

@@ -28,29 +28,24 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Embedding dimensionality — one scalar probe (dims are uniform per
-    * table by contract; a ragged table surfaces as ANSI INVALID_ARRAY_INDEX
-    * in the flattened plan — use [[countAndDim]] where a full scan already
-    * happens to get the clear error instead). Empty table → 1, so downstream
-    * plans stay valid (and correctly empty) instead of crashing on head(). */
+    * table by contract; a ragged table with rows SHORTER than the probed
+    * row surfaces as ANSI INVALID_ARRAY_INDEX from the flattened plan —
+    * that error means "ragged embedding column"). Empty table → 1, so
+    * downstream plans stay valid (and correctly empty) instead of crashing
+    * on head(). */
   private def embDim(embeddings: DataFrame): Int =
     embeddings.select(size(col("embedding")).as("d")).take(1)
       .headOption.map(_.getInt(0)).getOrElse(1)
 
-  /** (row count, dim) in ONE full-scan job, failing LOUDLY on ragged tables
-    * (min size ≠ max size) — the scan is free where a count() already
-    * happens (annTopKAuto), and the error names the actual problem rather
-    * than an INVALID_ARRAY_INDEX deep inside a join. */
-  private def countAndDim(embeddings: DataFrame): (Long, Int) = {
-    val r = embeddings.agg(count(lit(1)),
-      min(size(col("embedding"))), max(size(col("embedding")))).head()
-    if (r.getLong(0) == 0L) (0L, 1)
-    else {
-      require(r.getInt(1) == r.getInt(2),
-        s"ragged embedding column: sizes in [${r.getInt(1)}, ${r.getInt(2)}] — " +
-          "similarity operators require a uniform dimension per table")
-      (r.getLong(0), r.getInt(2))
-    }
-  }
+  /** (row count, dim): a column-pruned count() (reads NO array data from
+    * parquet) plus the one-row dim probe. NOT a min/max(size) scan — that
+    * would decode the heaviest column of the whole table just for a sanity
+    * check (measured wrong-headed at the 1e9-row scale this targets). Dims
+    * are uniform per table by contract; a ragged table fails at run time
+    * with ANSI INVALID_ARRAY_INDEX in the flattened plan (documented at
+    * [[embDim]]). */
+  private def countAndDim(embeddings: DataFrame): (Long, Int) =
+    (embeddings.count(), embDim(embeddings))
 
   /** (vec_id, nrm, x0..x{dim-1}): flattened unit of all similarity plans. */
   private def flat(embeddings: DataFrame, dim: Int): DataFrame =
