@@ -231,6 +231,28 @@ class MediaPipelineSpec extends SparkTestBase {
 
 class StreamingSpec extends SparkTestBase {
 
+  test("streaming windowed tool counts match the batch window aggregation") {
+    import graft.streaming.TranscriptStream
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-w").toString
+    val t = GraphFixture.transcripts
+    t.write.mode("overwrite").parquet(dir)
+
+    val q = TranscriptStream.toolWindowCounts(
+        TranscriptStream.readTranscripts(spark, dir), window_ = "5 minutes")
+      .writeStream.outputMode("update").format("memory").queryName("tw").start()
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.sql(
+        "SELECT window.start AS ws, tool, max(turns) AS turns FROM tw GROUP BY 1, 2")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    val exp = t.where(col("tool").isNotNull)
+      .groupBy(window(col("ts"), "5 minutes"), col("tool"))
+      .agg(count(lit(1)).as("turns"))
+      .select(col("window.start").as("ws"), col("tool"), col("turns"))
+      .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+  }
+
   test("streaming conv-tool counts match the batch derivation on the same data") {
     import graft.streaming.TranscriptStream
     val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
