@@ -664,6 +664,67 @@ object Oracles {
        SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id
        FROM scored WHERE rnk <= 10 ORDER BY query_id, rnk"""
 
+  /** IVF ANN replay: quantize to BIGINT micro-units, `iters` Lloyd rounds
+    * with EXACT integer distances (assignment/probe argmins are integer
+    * comparisons, cid tie-break — no float-order hazards), portable init
+    * pick, probe nprobe cells, exact-cosine top-k. Mirrors
+    * [[graft.sim.Similarity.ivfTopK]] (nlist=8, nprobe=2, iters=2, k=10,
+    * quant=1e6). */
+  val qAnnIvf: String = {
+    val (nlist, nprobe, iters, k) = (8, 2, 2, 10)
+    val rounds = (1 to iters).map { r =>
+      s"""d$r AS MATERIALIZED (
+         SELECT u.vec_id, c.cid, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS d
+         FROM uq u JOIN c${r - 1} c ON c.i = u.i GROUP BY u.vec_id, c.cid
+       ), a$r AS MATERIALIZED (
+         SELECT vec_id, cid FROM (
+           SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+           FROM d$r
+         ) x WHERE rn = 1
+       ), c$r AS MATERIALIZED (
+         SELECT a.cid, u.i, CAST(ROUND(AVG(u.xq), 0) AS BIGINT) AS cq
+         FROM a$r a JOIN uq u ON u.vec_id = a.vec_id GROUP BY a.cid, u.i
+       )"""
+    }.mkString(", ")
+    s"""WITH $embCtes, uq AS MATERIALIZED (
+         SELECT vec_id, i, CAST(ROUND(x * CAST(1000000.0 AS DOUBLE), 0) AS BIGINT) AS xq FROM u
+       ), pick AS MATERIALIZED (
+         SELECT vec_id, rn - 1 AS cid FROM (
+           SELECT vec_id,
+                  ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761 + 13) % 1000003, vec_id) AS rn
+           FROM embeddings
+         ) x WHERE rn <= $nlist
+       ), c0 AS MATERIALIZED (
+         SELECT p.cid, u.i, u.xq AS cq FROM uq u JOIN pick p ON p.vec_id = u.vec_id
+       ), $rounds, df AS MATERIALIZED (
+         SELECT u.vec_id, c.cid, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS d
+         FROM uq u JOIN c$iters c ON c.i = u.i GROUP BY u.vec_id, c.cid
+       ), ranked AS MATERIALIZED (
+         SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         FROM df
+       ), cand AS MATERIALIZED (
+         SELECT DISTINCT p.vec_id AS qa, l.vec_id AS qb
+         FROM (SELECT vec_id, cid FROM ranked WHERE rn <= $nprobe) p
+         JOIN (SELECT vec_id, cid FROM ranked WHERE rn = 1) l
+           ON l.cid = p.cid AND l.vec_id <> p.vec_id
+       ), dots AS MATERIALIZED (
+         SELECT c.qa, c.qb, SUM(ua.x * ub.x) AS dot
+         FROM cand c
+         JOIN u ua ON ua.vec_id = c.qa
+         JOIN u ub ON ub.vec_id = c.qb AND ub.i = ua.i
+         GROUP BY c.qa, c.qb
+       ), scored AS MATERIALIZED (
+         SELECT d.qa AS query_id, d.qb AS neighbor_id,
+                ROW_NUMBER() OVER (PARTITION BY d.qa
+                  ORDER BY d.dot / (na.nrm * nb.nrm) DESC, d.qb ASC) AS rnk
+         FROM dots d
+         JOIN norms na ON na.vec_id = d.qa
+         JOIN norms nb ON nb.vec_id = d.qb
+       )
+       SELECT query_id, CAST(rnk AS INTEGER) AS rnk, neighbor_id
+       FROM scored WHERE rnk <= $k ORDER BY query_id, rnk"""
+  }
+
   val qEmbedDedup: String =
     s"""WITH $embCtes, dots AS MATERIALIZED (
          SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.x * b.x) AS dot

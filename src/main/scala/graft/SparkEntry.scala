@@ -231,6 +231,11 @@ object SparkEntry {
         .select("query_id", "rnk", "neighbor_id")
         .orderBy("query_id", "rnk")),
 
+    "q_ann_ivf" -> ((s, d) => // IVF coarse-quantizer ANN (integer-space k-means)
+      graft.sim.Similarity.ivfTopK(embeds(s, d), k = 10)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")),
+
     "q_embed_dedup" -> ((s, d) =>
       graft.sim.Similarity.cosinePairs(embeds(s, d), minCosine = 0.45)
         .select("vec_a", "vec_b")
@@ -293,6 +298,7 @@ object SparkEntry {
     "q_simhash" -> Oracles.qSimhash,
     "q_ann_cosine" -> Oracles.qAnnCosine,
     "q_ann_lsh" -> Oracles.qAnnLsh,
+    "q_ann_ivf" -> Oracles.qAnnIvf,
     "q_embed_dedup" -> Oracles.qEmbedDedup,
     "q_svdpp" -> Oracles.qSvdpp,
     // q_pagerank_conv: the tolerance loop's iteration count is data-dependent,

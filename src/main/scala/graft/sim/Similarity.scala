@@ -218,6 +218,90 @@ object Similarity {
       .where(col("cosine") >= minCosine)
   }
 
+  /** IVF (inverted-file) ANN top-k — the second named scale path beside
+    * RP-LSH: a deterministic integer-space Lloyd's k-means builds `nlist`
+    * coarse cells; each query probes its `nprobe` nearest centroids and
+    * exact-cosine-verifies only those cells' members.
+    *
+    * Replayability design: embeddings are quantized to BIGINT micro-units
+    * (round(x·10⁶)), so every distance is an EXACT integer sum and every
+    * argmin (assignment, probe) is an exact integer comparison with cid
+    * tie-break — no float-comparison flip hazards between engines. The only
+    * float step is the centroid mean, immediately re-quantized
+    * (round(avg)); a cross-engine flip there needs the mean within ~1e-10
+    * of a .5 boundary (~10⁻⁶ over the whole run). Init centroids are the
+    * `nlist` vectors with smallest portable hash rank. The DuckDB oracle
+    * ([[graft.Oracles.qAnnIvf]]) replays the whole pipeline.
+    *
+    * Scale shape: the per-iteration cost is ONE broadcast join of the tiny
+    * (nlist×dim) centroid table onto the exploded vectors + one partial-agg
+    * shuffle — no n×n anything; candidate verification is bounded by cell
+    * occupancy × nprobe. Empty cells simply drop out of the next round
+    * (identically on both sides). */
+  def ivfTopK(
+      embeddings: DataFrame,
+      k: Int = 10,
+      nlist: Int = 8,
+      nprobe: Int = 2,
+      iters: Int = 2,
+      quant: Double = 1e6): DataFrame = {
+    val dim = embDim(embeddings)
+    // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round
+    val ex = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0"),
+        round(col("xf").cast("double") * quant, 0).cast("long").as("xq"))
+      .localCheckpoint(false)
+    // init: nlist vec_ids with smallest (portable hash, vec_id) rank — a
+    // global top-k (TakeOrderedAndProject, per-partition heaps; NOT a
+    // single-partition window) + an nlist-row driver collect for the cid map
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val picked = embeddings
+      .select(col("vec_id"), pmod(col("vec_id") * 2654435761L + 13L, lit(1000003L)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+      .zipWithIndex.map { case ((_, vid), i) => (vid, i) }
+    val pick = picked.toSeq.toDF("vec_id", "cid")
+    var cent = ex.join(broadcast(pick), "vec_id")
+      .select(col("cid"), col("i0"), col("xq").as("cq"))
+      .localCheckpoint(false)
+    def dists(c: DataFrame): DataFrame = // exact integer cell distances
+      ex.join(broadcast(c), "i0")
+        .groupBy(col("vec_id"), col("cid"))
+        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
+    for (_ <- 1 to iters) {
+      val asn = dists(cent)
+        .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
+        .groupBy("vec_id").agg(min(col("s")).as("s"))
+        .select(col("vec_id"), col("s.cid").as("cid"))
+      cent = asn.join(ex, "vec_id")
+        .groupBy("cid", "i0")
+        .agg(round(avg(col("xq")), 0).cast("long").as("cq"))
+        .localCheckpoint(false)
+    }
+    val finalDist = dists(cent).localCheckpoint(false) // lists (rank 1) + probes (rank ≤ nprobe)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)
+    val ranked = finalDist.withColumn("rn", row_number().over(rankW))
+    val lists = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = ranked.where(col("rn") <= nprobe).select(col("vec_id").as("query_id"), col("cid"))
+    val cand = probes
+      .join(lists.select(col("vec_id").as("neighbor_id"), col("cid")), "cid")
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val v = flat(embeddings, dim)
+    val scored = cand
+      .join(v.as("a"), col("query_id") === col("a.vec_id"))
+      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
   /** Near-dup pairs via RP-LSH candidate generation + exact cosine verify —
     * the scale path for TRUE near-dup thresholds (minCosine ≳ 0.9, where the
     * per-band collision probability (1-θ/π)^bandBits is high enough for

@@ -140,6 +140,24 @@ class SimilaritySpec extends SparkTestBase {
     assert(recall >= 0.8, s"auto ANN recall@10 = $recall")
   }
 
+  test("IVF ANN: integer k-means recovers the planted cells, recall vs brute >= 0.8") {
+    val brute = Similarity.bruteTopK(embeddings, k = 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.8, s"IVF recall@10 = $recall")
+    // determinism across partitionings (the oracle replays this exactly)
+    val again = Similarity.ivfTopK(embeddings.repartition(7), k = 10, nlist = 8, nprobe = 2)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val first = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = 2)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == first, "IVF output must be partition-invariant")
+  }
+
   test("cosinePairs finds the planted clusters") {
     val pairs = Similarity.cosinePairs(embeddings, 0.99).collect()
     assert(pairs.nonEmpty)
