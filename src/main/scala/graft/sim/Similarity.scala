@@ -302,6 +302,18 @@ object Similarity {
       .select("query_id", "rnk", "neighbor_id", "cosine")
   }
 
+  /** Scale-aware IVF: nlist ≈ √n (the standard coarse-quantizer sizing —
+    * cell occupancy and cell count grow together, so probe cost per query
+    * is ~nprobe·√n and the verify join stays linear-ish in n), floored at 8.
+    * The count is a column-pruned scan; dim comes from the one-row probe. */
+  def ivfTopKAuto(embeddings: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
+    val (n, _) = countAndDim(embeddings)
+    val nlist = math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+    println(s"[ivfTopKAuto] n=$n nlist=$nlist nprobe=$nprobe " +
+      f"expected cell occupancy=${n.toDouble / nlist}%.1f")
+    ivfTopK(embeddings, k, nlist = nlist, nprobe = nprobe)
+  }
+
   /** Near-dup pairs via RP-LSH candidate generation + exact cosine verify —
     * the scale path for TRUE near-dup thresholds (minCosine ≳ 0.9, where the
     * per-band collision probability (1-θ/π)^bandBits is high enough for

@@ -156,6 +156,11 @@ class SimilaritySpec extends SparkTestBase {
       .select("query_id", "rnk", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == first, "IVF output must be partition-invariant")
+    // scale-aware sizing keeps recall on the clustered fixture too
+    val auto = Similarity.ivfTopKAuto(embeddings, k = 10).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoRecall = (brute intersect auto).size.toDouble / brute.size
+    assert(autoRecall >= 0.7, s"IVF auto recall@10 = $autoRecall")
   }
 
   test("cosinePairs finds the planted clusters") {
