@@ -668,10 +668,10 @@ object Oracles {
     * with EXACT integer distances (assignment/probe argmins are integer
     * comparisons, cid tie-break — no float-order hazards), portable init
     * pick, probe nprobe cells, exact-cosine top-k. Mirrors
-    * [[graft.sim.Similarity.ivfTopK]] (nlist=8, nprobe=2, iters=2, k=10,
+    * [[graft.sim.Similarity.ivfTopK]] (nlist=16, nprobe=2, iters=2, k=10,
     * quant=1e6). */
   val qAnnIvf: String = {
-    val (nlist, nprobe, iters, k) = (8, 2, 2, 10)
+    val (nlist, nprobe, iters, k) = (16, 2, 2, 10)
     val rounds = (1 to iters).map { r =>
       s"""d$r AS MATERIALIZED (
          SELECT u.vec_id, c.cid, SUM((u.xq - c.cq) * (u.xq - c.cq)) AS d

@@ -232,7 +232,7 @@ object SparkEntry {
         .orderBy("query_id", "rnk")),
 
     "q_ann_ivf" -> ((s, d) => // IVF coarse-quantizer ANN (integer-space k-means)
-      graft.sim.Similarity.ivfTopK(embeds(s, d), k = 10)
+      graft.sim.Similarity.ivfTopK(embeds(s, d), k = 10, nlist = 16)
         .select("query_id", "rnk", "neighbor_id")
         .orderBy("query_id", "rnk")),
 
