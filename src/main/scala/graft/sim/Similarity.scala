@@ -60,6 +60,27 @@ object Similarity {
   private def dotFlat(dim: Int, l: String = "a", r: String = "b"): Column =
     (0 until dim).map(i => col(s"$l.x$i") * col(s"$r.x$i")).reduce(_ + _)
 
+  /** Shared ANN verify tail: exact cosine over (query_id, neighbor_id)
+    * candidates + top-k window — ONE definition so the LSH and IVF paths
+    * (and their oracles) cannot silently diverge on tie-break or norm
+    * handling. */
+  private def exactCosineTopK(
+      cand: DataFrame,
+      embeddings: DataFrame,
+      dim: Int,
+      k: Int): DataFrame = {
+    val v = flat(embeddings, dim)
+    val scored = cand
+      .join(v.as("a"), col("query_id") === col("a.vec_id"))
+      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
+    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("query_id", "rnk", "neighbor_id", "cosine")
+  }
+
   /** Exact cosine top-k neighbors (self excluded):
     * (query_id, rnk, neighbor_id, cosine). O(|queries|·n) — the correctness
     * baseline; use [[annTopK]] at scale. `queryPred` restricts the query side
@@ -154,16 +175,7 @@ object Similarity {
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
       .distinct()
-    val v = flat(embeddings, dim)
-    val scored = cand
-      .join(v.as("a"), col("query_id") === col("a.vec_id"))
-      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+    exactCosineTopK(cand, embeddings, dim, k)
   }
 
   /** Scale-aware ANN: picks bandBits so a band has ~n/targetOccupancy buckets
@@ -233,10 +245,12 @@ object Similarity {
     * `nlist` vectors with smallest portable hash rank. The DuckDB oracle
     * ([[graft.Oracles.qAnnIvf]]) replays the whole pipeline.
     *
-    * Scale shape: the per-iteration cost is ONE broadcast join of the tiny
+    * Scale shape: the per-iteration cost is ONE broadcast join of the
     * (nlist×dim) centroid table onto the exploded vectors + one partial-agg
-    * shuffle — no n×n anything; candidate verification is bounded by cell
-    * occupancy × nprobe. Empty cells simply drop out of the next round
+    * shuffle — no n×n anything, but the assignment work is O(n·dim·nlist),
+    * so nlist must stay broadcast-small (see [[ivfTopKAuto]]'s cap and the
+    * mapPartitions-BLAS note there); candidate verification is bounded by
+    * cell occupancy × nprobe. Empty cells simply drop out of the next round
     * (identically on both sides). */
   def ivfTopK(
       embeddings: DataFrame,
@@ -244,8 +258,17 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       iters: Int = 2,
-      quant: Double = 1e6): DataFrame = {
-    val dim = embDim(embeddings)
+      quant: Double = 1e6): DataFrame =
+    ivfTopKDim(embeddings, embDim(embeddings), k, nlist, nprobe, iters, quant)
+
+  private def ivfTopKDim(
+      embeddings: DataFrame,
+      dim: Int,
+      k: Int,
+      nlist: Int,
+      nprobe: Int,
+      iters: Int,
+      quant: Double): DataFrame = {
     // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round
     val ex = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
@@ -290,28 +313,28 @@ object Similarity {
       .join(lists.select(col("vec_id").as("neighbor_id"), col("cid")), "cid")
       .where(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id").distinct()
-    val v = flat(embeddings, dim)
-    val scored = cand
-      .join(v.as("a"), col("query_id") === col("a.vec_id"))
-      .join(v.as("b"), col("neighbor_id") === col("b.vec_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (dotFlat(dim) / (col("a.nrm") * col("b.nrm"))).as("cosine"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(desc("cosine"), asc("neighbor_id"))
-    scored.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
-      .select("query_id", "rnk", "neighbor_id", "cosine")
+    exactCosineTopK(cand, embeddings, dim, k)
   }
 
   /** Scale-aware IVF: nlist ≈ √n (the standard coarse-quantizer sizing —
-    * cell occupancy and cell count grow together, so probe cost per query
-    * is ~nprobe·√n and the verify join stays linear-ish in n), floored at 8.
-    * The count is a column-pruned scan; dim comes from the one-row probe. */
+    * cell occupancy and cell count grow together, so the verify join stays
+    * ~nprobe·√n candidates per query), floored at 8 and CAPPED at 1024:
+    * the Lloyd assignment in this declarative shape is a broadcast of the
+    * (nlist × dim) centroid table and O(n·dim·nlist) per round, so nlist
+    * must stay broadcast-small (1024×256 dims ≈ 2M rows ≈ 16 MB). Beyond
+    * that, a deployment would swap the assignment stage for a
+    * mapPartitions-BLAS argmin over the same broadcast centroids (identical
+    * semantics; the per-row work drops to a dense GEMV) — the declarative
+    * stage here is the correctness-auditable form, not the 10⁹-row one.
+    * The count is a column-pruned scan; dim comes from the one-row probe
+    * and is threaded through (no re-probe). */
   def ivfTopKAuto(embeddings: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
-    val (n, _) = countAndDim(embeddings)
-    val nlist = math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+    val (n, dim) = countAndDim(embeddings)
+    val nlist = math.min(1024,
+      math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
     println(s"[ivfTopKAuto] n=$n nlist=$nlist nprobe=$nprobe " +
       f"expected cell occupancy=${n.toDouble / nlist}%.1f")
-    ivfTopK(embeddings, k, nlist = nlist, nprobe = nprobe)
+    ivfTopKDim(embeddings, dim, k, nlist, nprobe, iters = 2, quant = 1e6)
   }
 
   /** Near-dup pairs via RP-LSH candidate generation + exact cosine verify —

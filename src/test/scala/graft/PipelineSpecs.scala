@@ -143,16 +143,14 @@ class SimilaritySpec extends SparkTestBase {
   test("IVF ANN: integer k-means recovers the planted cells, recall vs brute >= 0.8") {
     val brute = Similarity.bruteTopK(embeddings, k = 10).select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = 2)
-      .select("query_id", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = 2)
+      .select("query_id", "rnk", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val ivf = first.map { case (q, _, nb) => (q, nb) }
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.8, s"IVF recall@10 = $recall")
     // determinism across partitionings (the oracle replays this exactly)
     val again = Similarity.ivfTopK(embeddings.repartition(7), k = 10, nlist = 8, nprobe = 2)
-      .select("query_id", "rnk", "neighbor_id")
-      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
-    val first = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = 2)
       .select("query_id", "rnk", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(again == first, "IVF output must be partition-invariant")

@@ -236,6 +236,9 @@ class StreamingSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-w").toString
     val t = GraphFixture.transcripts
     t.write.mode("overwrite").parquet(dir)
+    // duplicate a slice so the (conv_id, turn_idx) dedup stage is EXERCISED,
+    // and mirror that dedup on the batch side — the semantics under test
+    t.limit(40).write.mode("append").parquet(dir)
 
     val q = TranscriptStream.toolWindowCounts(
         TranscriptStream.readTranscripts(spark, dir), window_ = "5 minutes")
@@ -245,7 +248,8 @@ class StreamingSpec extends SparkTestBase {
     val got = spark.sql(
         "SELECT window.start AS ws, tool, max(turns) AS turns FROM tw GROUP BY 1, 2")
       .collect().map(r => (r.getTimestamp(0), r.getString(1)) -> r.getLong(2)).toMap
-    val exp = t.where(col("tool").isNotNull)
+    val exp = t.dropDuplicates("conv_id", "turn_idx")
+      .where(col("tool").isNotNull)
       .groupBy(window(col("ts"), "5 minutes"), col("tool"))
       .agg(count(lit(1)).as("turns"))
       .select(col("window.start").as("ws"), col("tool"), col("turns"))
