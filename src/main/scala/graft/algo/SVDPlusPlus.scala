@@ -118,31 +118,38 @@ object SVDPlusPlus {
         .persist()
 
       val g2 = lit(conf.gamma2)
-      val userMsgs = t.select(col("src").as("vid"),
-        struct(
-          zip_with(col("qi"), col("pu"),
-            (q, p) => g2 * (col("err") * q - lit(conf.gamma7) * p)).as("dp"),
-          (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bu"))).as("db")).as("m"))
-      val itemMsgs = t.select(col("dst").as("vid"),
-        struct(
-          zip_with(col("p2"), col("qi"),
-            (p2, q) => g2 * (col("err") * p2 - lit(conf.gamma7) * q)).as("dp"),
-          (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bi"))).as("db")).as("m"))
-      val itemYMsgs = t.select(col("dst").as("vid"),
+      // ONE message row per (edge, endpoint): dp for both sides, db for both
+      // sides, dy only for the item side (null for users — the per-vid
+      // count(dyv)=0 below turns that back into a null ARRAY, preserving the
+      // "no y update for users" contract). All three gradients then reduce
+      // in a SINGLE posexplode + conditional-sum aggregate — one shuffle and
+      // one state join per iteration instead of three of each (the explode
+      // is the optimizer barrier keeping each interpreted zip_with evaluated
+      // once per row; see sumArrays).
+      val userRows = t.select(col("src").as("vid"),
+        zip_with(col("qi"), col("pu"),
+          (q, p) => g2 * (col("err") * q - lit(conf.gamma7) * p)).as("dp"),
+        (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bu"))).as("db"),
+        lit(null).cast("array<double>").as("dy"))
+      val itemRows = t.select(col("dst").as("vid"),
+        zip_with(col("p2"), col("qi"),
+          (p2, q) => g2 * (col("err") * p2 - lit(conf.gamma7) * q)).as("dp"),
+        (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bi"))).as("db"),
         zip_with(col("qi"), col("yi"),
-          (q, y) => g2 * (col("err") * col("nu") * q - lit(conf.gamma7) * y)).as("arr"))
+          (q, y) => g2 * (col("err") * col("nu") * q - lit(conf.gamma7) * y)).as("dy"))
+      val exploded = userRows.unionByName(itemRows)
+        .select(col("vid"), col("db"), col("dy"), posexplode(col("dp")).as(Seq("pos", "dpv")))
+        .select(col("vid"), col("pos"), col("dpv"),
+          when(col("pos") === 0, col("db")).as("db0"), // db counted once per row
+          element_at(col("dy"), col("pos") + 1).as("dyv"))
+      val grads = exploded.groupBy("vid").agg(
+        array((0 until conf.rank).map(i => sum(when(col("pos") === i, col("dpv")))): _*).as("dp"),
+        sum(col("db0")).as("db"),
+        when(count(col("dyv")) === 0, lit(null).cast("array<double>"))
+          .otherwise(array((0 until conf.rank).map(i =>
+            sum(when(col("pos") === i, col("dyv")))): _*)).as("dy"))
 
-      val dp = sumArrays(
-        userMsgs.select(col("vid"), col("m.dp").as("arr"))
-          .union(itemMsgs.select(col("vid"), col("m.dp").as("arr"))), conf.rank)
-        .withColumnRenamed("arr", "dp")
-      val db = userMsgs.select(col("vid"), col("m.db").as("db"))
-        .union(itemMsgs.select(col("vid"), col("m.db").as("db")))
-        .groupBy("vid").agg(sum("db").as("db"))
-      val dy = sumArrays(itemYMsgs, conf.rank).withColumnRenamed("arr", "dy")
-
-      v = v.join(dp, Seq("vid"), "left").join(db, Seq("vid"), "left")
-        .join(dy, Seq("vid"), "left")
+      v = v.join(grads, Seq("vid"), "left")
         .select(
           col("vid"),
           when(col("dp").isNull, col("p"))
