@@ -511,10 +511,10 @@ object Oracles {
     * excluded from CANDIDATE generation; surviving pairs carry the exact
     * full-shingle Jaccard — mirrors Dedup.ngramJaccard(maxShingleDf). */
   val qNgramJaccardDf: String =
-    s"""WITH $shingleCtes, hot AS MATERIALIZED (
+    s"""WITH $shingleCtes, rare_shingles AS MATERIALIZED (
          SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 5
        ), rare AS MATERIALIZED (
-         SELECT s.doc_id, s.shingle FROM sh s JOIN hot h ON h.shingle = s.shingle
+         SELECT s.doc_id, s.shingle FROM sh s JOIN rare_shingles r ON r.shingle = s.shingle
        ), cand AS MATERIALIZED (
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM rare a JOIN rare b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -738,6 +738,49 @@ object Oracles {
        WHERE d.dot / (na.nrm * nb.nrm) >= CAST(0.45 AS DOUBLE)
        ORDER BY vec_a, vec_b"""
 
+  /** RP-LSH near-dup pair replay ([[graft.sim.Similarity.cosinePairsLsh]],
+    * numBits=56, bandBits=8): same portable hyperplane components as
+    * [[qAnnLsh]] extended to 56 planes, 7 bands of 8 bits, vec_a < vec_b
+    * candidate join, exact-cosine verify at the same 0.45 threshold as
+    * [[qEmbedDedup]] — so the two oracled paths expose the LSH path's
+    * regime-dependent recall directly (at ≥0.9 it approaches 1; the fixture
+    * peaks ≈0.6, so the surviving subset is the contract here). */
+  val qEmbedDedupLsh: String =
+    s"""WITH $embCtes, planes AS MATERIALIZED (
+         SELECT j, i,
+                CAST(((t * t * 31 + t * 7 + j) % 2000003) AS DOUBLE)
+                  / CAST(1000001.5 AS DOUBLE) - CAST(1.0 AS DOUBLE) AS comp
+         FROM (
+           SELECT j, i, (j * 40503 + (i - 1) * 2654435761 + 7) % 1000003 AS t
+           FROM generate_series(0, 55) t1(j), generate_series(1, 256) t2(i)
+         )
+       ), proj AS MATERIALIZED (
+         SELECT u.vec_id, p.j, SUM(u.x * p.comp) AS proj
+         FROM u JOIN planes p ON p.i = u.i GROUP BY u.vec_id, p.j
+       ), banded AS MATERIALIZED (
+         SELECT vec_id, j // 8 AS band,
+                SUM(CASE WHEN proj > 0 THEN CAST(POWER(2, j % 8) AS BIGINT) ELSE 0 END) AS bh
+         FROM proj GROUP BY vec_id, j // 8
+       ), cand AS MATERIALIZED (
+         SELECT a.vec_id AS va, b.vec_id AS vb
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+         GROUP BY 1, 2
+       ), dots AS MATERIALIZED (
+         SELECT c.va, c.vb, SUM(ua.x * ub.x) AS dot
+         FROM cand c
+         JOIN u ua ON ua.vec_id = c.va
+         JOIN u ub ON ub.vec_id = c.vb AND ub.i = ua.i
+         GROUP BY c.va, c.vb
+       )
+       SELECT d.va AS vec_a, d.vb AS vec_b,
+              ROUND(d.dot / (na.nrm * nb.nrm), 6) AS cosine
+       FROM dots d
+       JOIN norms na ON na.vec_id = d.va
+       JOIN norms nb ON nb.vec_id = d.vb
+       WHERE d.dot / (na.nrm * nb.nrm) >= CAST(0.45 AS DOUBLE)
+       ORDER BY vec_a, vec_b"""
+
   // ---- SVD++ (full SGD replay — the round-2 "no_oracle" gap) ----
 
   /** SQL rendering of [[graft.algo.SVDPlusPlus.detRand]] for a LITERAL dim
@@ -828,6 +871,7 @@ object Oracles {
         FROM $pv v LEFT JOIN g$k g ON g.vid = v.vid LEFT JOIN gy$k gy ON gy.vid = v.vid
       )"""
     }.mkString(", ")
-    s"WITH $head, $iterCtes SELECT vid, ROUND(bias, 6) AS bias FROM v$iters ORDER BY vid"
+    s"""WITH $head, $iterCtes SELECT vid, ROUND(bias, 6) AS bias,
+       ROUND(p0, 6) AS p0, ROUND(y0, 6) AS y0 FROM v$iters ORDER BY vid"""
   }
 }

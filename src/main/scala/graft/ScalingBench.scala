@@ -80,7 +80,6 @@ object ScalingBench {
     * stays documented in BASELINE.md §f. */
   private def measureCsr(cores: Int, parts: Int, adjPath: String, iters: Int): Measured = {
     val spark = session(cores, parts)
-    val sc = spark.sparkContext
     val part = new org.apache.spark.HashPartitioner(parts)
     val edgePairs = spark.read.parquet(adjPath)
       .select(col("src"), col("dst")).rdd
@@ -92,7 +91,8 @@ object ScalingBench {
       val buf = new scala.collection.mutable.ArrayBuffer[Long](1 << 16)
       while (it.hasNext) {
         val (s, d) = it.next()
-        require(s < Int.MaxValue && d < Int.MaxValue, "CSR lab assumes vids < 2^31")
+        require(s >= 0 && d >= 0 && s < Int.MaxValue && d < Int.MaxValue,
+          "CSR lab assumes vids in [0, 2^31)")
         buf += (s << 32) | d
       }
       val packed = buf.toArray

@@ -241,6 +241,11 @@ object SparkEntry {
         .select("vec_a", "vec_b")
         .orderBy("vec_a", "vec_b")),
 
+    "q_embed_dedup_lsh" -> ((s, d) => // banded RP-LSH candidates + exact verify
+      graft.sim.Similarity.cosinePairsLsh(embeds(s, d), minCosine = 0.45)
+        .select(col("vec_a"), col("vec_b"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("vec_a", "vec_b")),
+
     "q_svdpp" -> ((s, d) => { // full SGD replay oracle (Oracles.qSvdpp) + SVDPlusPlusSpec
       val o = s.read.parquet(s"$d/orders.parquet")
       val l = s.read.parquet(s"$d/lineitem.parquet")
@@ -250,7 +255,12 @@ object SparkEntry {
           (pmod(col("l_quantity").cast("long"), lit(5L)) + 1L).cast("double").as("rating"))
       val r = graft.algo.SVDPlusPlus.run(ratings,
         graft.algo.SVDPlusPlus.Conf(rank = 4, maxIters = 2, minVal = 1.0, maxVal = 5.0))
-      r.vertices.select(col("vid"), round(col("bias"), 6).as("bias")).orderBy("vid")
+      // bias + one component each of p and y: factor-path regressions fail
+      // the hash directly instead of only via err→bias coupling
+      r.vertices.select(col("vid"), round(col("bias"), 6).as("bias"),
+          round(element_at(col("p"), 1), 6).as("p0"),
+          round(element_at(col("y"), 1), 6).as("y0"))
+        .orderBy("vid")
     }),
   )
 
@@ -300,6 +310,7 @@ object SparkEntry {
     "q_ann_lsh" -> Oracles.qAnnLsh,
     "q_ann_ivf" -> Oracles.qAnnIvf,
     "q_embed_dedup" -> Oracles.qEmbedDedup,
+    "q_embed_dedup_lsh" -> Oracles.qEmbedDedupLsh,
     "q_svdpp" -> Oracles.qSvdpp,
     // q_pagerank_conv: the tolerance loop's iteration count is data-dependent,
     // so its oracle is generated at Verify time — see dynamicOracleSql.

@@ -185,8 +185,8 @@ object Similarity {
     * 16-bit default; at n=1e9 with occupancy 1024 it picks 20-bit bands
     * (≈10⁶ buckets/band, ~5·10⁵ candidate pairs per bucket). */
   def annTopKAuto(embeddings: DataFrame, k: Int = 10, targetOccupancy: Long = 256L): DataFrame = {
-    // ONE scan job yields count + dim + the ragged-table check (previously a
-    // separate count() plus a per-call take(1) dim probe)
+    // pruned count() + one-row dim probe — the win is never decoding the
+    // full embedding column just for sizing (see countAndDim)
     val (n0, dim) = countAndDim(embeddings)
     val n = math.max(1L, n0)
     val bandBits = math.min(15, math.max(4,
@@ -258,8 +258,61 @@ object Similarity {
       nlist: Int = 8,
       nprobe: Int = 2,
       iters: Int = 2,
-      quant: Double = 1e6): DataFrame =
-    ivfTopKDim(embeddings, embDim(embeddings), k, nlist, nprobe, iters, quant)
+      quant: Double = 1e6,
+      kernelAssign: Boolean = false): DataFrame =
+    ivfTopKDim(embeddings, embDim(embeddings), k, nlist, nprobe, iters, quant, kernelAssign)
+
+  /** Top-`nprobe` nearest centroids per vector via a `mapPartitions` argmin
+    * over the driver-collected + broadcast centroid table — the beyond-cap
+    * assignment stage named by [[ivfTopKAuto]]: per-row work is a dense
+    * integer kernel (no n·dim·nlist row explosion through an aggregate), so
+    * nlist is bounded by the broadcast size (nlist×dim longs; 31k×256 ≈
+    * 64 MB at the 10⁹-row sizing), not by aggregate row volume. Semantics
+    * are IDENTICAL to the declarative form: exact integer distances
+    * Σ(xq−cq)², ordered (d asc, cid asc) — asserted equal on the clustered
+    * fixture in SimilaritySpec. Output: (vec_id, cid, d, rn) with rn ∈
+    * [1, nprobe]. */
+  private def kernelProbeRanks(qv: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val spark = qv.sparkSession
+    import spark.implicits._
+    // bounded collect: nlist×dim centroid rows (cid, i0, cq)
+    val byCid: Array[(Int, Array[Long])] = cent.collect()
+      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
+      .map { case (cid, rows) =>
+        val arr = new Array[Long](rows.length)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        (cid, arr)
+      }
+    val bc = spark.sparkContext.broadcast(byCid)
+    qv.as[(Long, Array[Long])].mapPartitions { it =>
+      val cents = bc.value
+      val nl = cents.length
+      val np = math.min(nprobe, nl)
+      it.flatMap { case (vid, xq) =>
+        val bestD = Array.fill(np)(Long.MaxValue)
+        val bestC = new Array[Int](np)
+        var c = 0
+        while (c < nl) {
+          val cv = cents(c)._2
+          var d = 0L
+          var i = 0
+          while (i < xq.length) { val t = xq(i) - cv(i); d += t * t; i += 1 }
+          // insert (d, cid) into the sorted top-np; cids ascend, so a tie on
+          // d keeps the earlier (smaller) cid — the (d asc, cid asc) order
+          if (d < bestD(np - 1)) {
+            var pos = np - 1
+            while (pos > 0 && bestD(pos - 1) > d) {
+              bestD(pos) = bestD(pos - 1); bestC(pos) = bestC(pos - 1); pos -= 1
+            }
+            bestD(pos) = d; bestC(pos) = cents(c)._1
+          }
+          c += 1
+        }
+        (0 until np).iterator.filter(bestD(_) < Long.MaxValue)
+          .map(r => (vid, bestC(r), bestD(r), r + 1))
+      }
+    }.toDF("vec_id", "cid", "d", "rn")
+  }
 
   private def ivfTopKDim(
       embeddings: DataFrame,
@@ -268,13 +321,21 @@ object Similarity {
       nlist: Int,
       nprobe: Int,
       iters: Int,
-      quant: Double): DataFrame = {
+      quant: Double,
+      kernelAssign: Boolean = false): DataFrame = {
     // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round
     val ex = embeddings
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
       .select(col("vec_id"), col("i0"),
         round(col("xf").cast("double") * quant, 0).cast("long").as("xq"))
       .localCheckpoint(false)
+    // kernel path input: same quantization as `ex`, vector-per-row
+    val qv =
+      if (!kernelAssign) None
+      else Some(embeddings.select(col("vec_id"),
+          transform(col("embedding"), x => round(x.cast("double") * quant, 0).cast("long"))
+            .as("xq"))
+        .localCheckpoint(false))
     // init: nlist vec_ids with smallest (portable hash, vec_id) rank — a
     // global top-k (TakeOrderedAndProject, per-partition heaps; NOT a
     // single-partition window) + an nlist-row driver collect for the cid map
@@ -293,22 +354,32 @@ object Similarity {
       ex.join(broadcast(c), "i0")
         .groupBy(col("vec_id"), col("cid"))
         .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
-    for (_ <- 1 to iters) {
-      val asn = dists(cent)
+    // argmin cell per vector: declarative min-struct, or the mapPartitions
+    // kernel (identical exact-integer (d, cid) order)
+    def assign(c: DataFrame): DataFrame = qv match {
+      case Some(q) => kernelProbeRanks(q, c, 1).select(col("vec_id"), col("cid"))
+      case None => dists(c)
         .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
         .groupBy("vec_id").agg(min(col("s")).as("s"))
         .select(col("vec_id"), col("s.cid").as("cid"))
-      cent = asn.join(ex, "vec_id")
+    }
+    for (_ <- 1 to iters) {
+      cent = assign(cent).join(ex, "vec_id")
         .groupBy("cid", "i0")
         .agg(round(avg(col("xq")), 0).cast("long").as("cq"))
         .localCheckpoint(false)
     }
-    val finalDist = dists(cent).localCheckpoint(false) // lists (rank 1) + probes (rank ≤ nprobe)
-    val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)
-    val ranked = finalDist.withColumn("rn", row_number().over(rankW))
+    // lists (rank 1) + probes (rank ≤ nprobe) from one ranked table
+    val ranked = (qv match {
+      case Some(q) => kernelProbeRanks(q, cent, nprobe)
+      case None =>
+        val rankW = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)
+        dists(cent).withColumn("rn", row_number().over(rankW))
+          .where(col("rn") <= nprobe)
+    }).localCheckpoint(false)
     val lists = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid"))
-    val probes = ranked.where(col("rn") <= nprobe).select(col("vec_id").as("query_id"), col("cid"))
+    val probes = ranked.select(col("vec_id").as("query_id"), col("cid"))
     val cand = probes
       .join(lists.select(col("vec_id").as("neighbor_id"), col("cid")), "cid")
       .where(col("query_id") =!= col("neighbor_id"))
@@ -318,23 +389,25 @@ object Similarity {
 
   /** Scale-aware IVF: nlist ≈ √n (the standard coarse-quantizer sizing —
     * cell occupancy and cell count grow together, so the verify join stays
-    * ~nprobe·√n candidates per query), floored at 8 and CAPPED at 1024:
-    * the Lloyd assignment in this declarative shape is a broadcast of the
-    * (nlist × dim) centroid table and O(n·dim·nlist) per round, so nlist
-    * must stay broadcast-small (1024×256 dims ≈ 2M rows ≈ 16 MB). Beyond
-    * that, a deployment would swap the assignment stage for a
-    * mapPartitions-BLAS argmin over the same broadcast centroids (identical
-    * semantics; the per-row work drops to a dense GEMV) — the declarative
-    * stage here is the correctness-auditable form, not the 10⁹-row one.
+    * ~nprobe·√n candidates per query), floored at 8. Up to nlist = 1024 the
+    * assignment runs in the declarative shape (broadcast centroid join +
+    * aggregate — correctness-auditable, but O(n·dim·nlist) ROWS through the
+    * aggregate, so it must stay small); beyond 1024 the assignment stage
+    * swaps to [[kernelProbeRanks]] — a mapPartitions integer argmin over the
+    * same broadcast centroid table with bit-identical (d, cid) semantics
+    * (spec-asserted), whose per-row work is a dense kernel with NO row
+    * explosion, so nlist is bounded only by the centroid broadcast
+    * (31k×256 ≈ 64 MB at n = 10⁹). A/B numbers in BASELINE.md §g.
     * The count is a column-pruned scan; dim comes from the one-row probe
     * and is threaded through (no re-probe). */
   def ivfTopKAuto(embeddings: DataFrame, k: Int = 10, nprobe: Int = 2): DataFrame = {
     val (n, dim) = countAndDim(embeddings)
-    val nlist = math.min(1024,
-      math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt))
-    println(s"[ivfTopKAuto] n=$n nlist=$nlist nprobe=$nprobe " +
+    val nlist = math.max(8, math.ceil(math.sqrt(math.max(1L, n).toDouble)).toInt)
+    val kernel = nlist > 1024
+    println(s"[ivfTopKAuto] n=$n nlist=$nlist nprobe=$nprobe kernel_assign=$kernel " +
       f"expected cell occupancy=${n.toDouble / nlist}%.1f")
-    ivfTopKDim(embeddings, dim, k, nlist, nprobe, iters = 2, quant = 1e6)
+    ivfTopKDim(embeddings, dim, k, nlist, nprobe, iters = 2, quant = 1e6,
+      kernelAssign = kernel)
   }
 
   /** Near-dup pairs via RP-LSH candidate generation + exact cosine verify —

@@ -161,6 +161,20 @@ class SimilaritySpec extends SparkTestBase {
     assert(autoRecall >= 0.7, s"IVF auto recall@10 = $autoRecall")
   }
 
+  test("IVF kernel assignment (mapPartitions argmin) == declarative assignment") {
+    // the beyond-1024-nlist path must be bit-identical to the auditable
+    // declarative form: same exact-integer distances, same (d, cid) order,
+    // through the whole pipeline (Lloyd loop + probe ranking + verify)
+    for (nprobe <- Seq(1, 2, 3)) {
+      val decl = Similarity.ivfTopK(embeddings, k = 10, nlist = 8, nprobe = nprobe)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val kern = Similarity.ivfTopK(embeddings.repartition(5), k = 10, nlist = 8,
+          nprobe = nprobe, kernelAssign = true)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(kern == decl, s"kernel != declarative at nprobe=$nprobe")
+    }
+  }
+
   test("cosinePairs finds the planted clusters") {
     val pairs = Similarity.cosinePairs(embeddings, 0.99).collect()
     assert(pairs.nonEmpty)
