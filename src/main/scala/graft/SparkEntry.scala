@@ -327,8 +327,13 @@ object SparkEntry {
     * for the converged iteration count n. Verify merges this over
     * [[oracleSql]] before dumping oracle_sql.json. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] = {
-    val n = Option(convIterations.get(sfDir)).map(_.intValue).getOrElse(
-      PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations)
+    // computeIfAbsent: the tolerance loop runs AT MOST ONCE per process per
+    // sfDir no matter how many times (or in what order relative to the
+    // queries map) this is called — q_pagerank_conv populates the cache as a
+    // side effect when it runs; the fallback here fills it only if the query
+    // never executed (e.g. it crashed upstream in Verify).
+    val n = convIterations.computeIfAbsent(sfDir,
+      _ => PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations).intValue
     Map("q_pagerank_conv" ->
       s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
          SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""")

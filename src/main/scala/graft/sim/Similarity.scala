@@ -314,6 +314,58 @@ object Similarity {
     }.toDF("vec_id", "cid", "d", "rn")
   }
 
+  /** Quantized per-dim rows (vec_id, i0, xq) — the declarative-form input,
+    * reused every Lloyd round. */
+  private def quantExploded(embeddings: DataFrame, quant: Double): DataFrame =
+    embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+      .select(col("vec_id"), col("i0"),
+        round(col("xf").cast("double") * quant, 0).cast("long").as("xq"))
+      .localCheckpoint(false)
+
+  /** Quantized vector-per-row (vec_id, xq: array<long>) — the kernel-form
+    * input; identical arithmetic to [[quantExploded]]. */
+  private def quantVectors(embeddings: DataFrame, quant: Double): DataFrame =
+    embeddings.select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * quant, 0).cast("long"))
+          .as("xq"))
+      .localCheckpoint(false)
+
+  /** Init centroid table (cid, i0, cq): the nlist vectors with smallest
+    * (portable hash, vec_id) rank — a global top-k (TakeOrderedAndProject,
+    * per-partition heaps; NOT a single-partition window) + an nlist-row
+    * driver collect for the cid map. */
+  private def initCentroids(embeddings: DataFrame, ex: DataFrame, nlist: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val picked = embeddings
+      .select(col("vec_id"), pmod(col("vec_id") * 2654435761L + 13L, lit(1000003L)).as("h"))
+      .orderBy(col("h"), col("vec_id")).limit(nlist)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
+      .zipWithIndex.map { case ((_, vid), i) => (vid, i) }
+    val pick = picked.toSeq.toDF("vec_id", "cid")
+    ex.join(broadcast(pick), "vec_id")
+      .select(col("cid"), col("i0"), col("xq").as("cq"))
+      .localCheckpoint(false)
+  }
+
+  /** Lab hook ([[graft.IvfLab]]): ONE assignment pass of the Lloyd loop over
+    * the init centroids, in either form — the A/B surface for the
+    * declarative-vs-kernel assignment measurement. */
+  private[graft] def assignOnce(
+      embeddings: DataFrame, nlist: Int, kernel: Boolean, quant: Double = 1e6): DataFrame = {
+    val ex = quantExploded(embeddings, quant)
+    val cent = initCentroids(embeddings, ex, nlist)
+    if (kernel) kernelProbeRanks(quantVectors(embeddings, quant), cent, 1)
+      .select(col("vec_id"), col("cid"))
+    else ex.join(broadcast(cent), "i0")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
+      .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("s"))
+      .select(col("vec_id"), col("s.cid").as("cid"))
+  }
+
   private def ivfTopKDim(
       embeddings: DataFrame,
       dim: Int,
@@ -324,32 +376,10 @@ object Similarity {
       quant: Double,
       kernelAssign: Boolean = false): DataFrame = {
     // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round
-    val ex = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), col("i0"),
-        round(col("xf").cast("double") * quant, 0).cast("long").as("xq"))
-      .localCheckpoint(false)
+    val ex = quantExploded(embeddings, quant)
     // kernel path input: same quantization as `ex`, vector-per-row
-    val qv =
-      if (!kernelAssign) None
-      else Some(embeddings.select(col("vec_id"),
-          transform(col("embedding"), x => round(x.cast("double") * quant, 0).cast("long"))
-            .as("xq"))
-        .localCheckpoint(false))
-    // init: nlist vec_ids with smallest (portable hash, vec_id) rank — a
-    // global top-k (TakeOrderedAndProject, per-partition heaps; NOT a
-    // single-partition window) + an nlist-row driver collect for the cid map
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val picked = embeddings
-      .select(col("vec_id"), pmod(col("vec_id") * 2654435761L + 13L, lit(1000003L)).as("h"))
-      .orderBy(col("h"), col("vec_id")).limit(nlist)
-      .collect().map(r => (r.getLong(1), r.getLong(0))).sorted
-      .zipWithIndex.map { case ((_, vid), i) => (vid, i) }
-    val pick = picked.toSeq.toDF("vec_id", "cid")
-    var cent = ex.join(broadcast(pick), "vec_id")
-      .select(col("cid"), col("i0"), col("xq").as("cq"))
-      .localCheckpoint(false)
+    val qv = if (!kernelAssign) None else Some(quantVectors(embeddings, quant))
+    var cent = initCentroids(embeddings, ex, nlist)
     def dists(c: DataFrame): DataFrame = // exact integer cell distances
       ex.join(broadcast(c), "i0")
         .groupBy(col("vec_id"), col("cid"))

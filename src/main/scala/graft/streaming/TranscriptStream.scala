@@ -48,4 +48,57 @@ object TranscriptStream {
       .where(col("tool").isNotNull)
       .groupBy(col("conv_id"), col("tool"))
       .agg(count(lit(1)).as("weight"))
+
+  /** End-to-end continuous edge maintenance: watermarked turn dedup (append
+    * mode — each unique (conv_id, turn_idx) is emitted exactly once) →
+    * `foreachBatch` merge into the canonical conv↔tool edge table through
+    * [[graft.sources.TableIO]].
+    *
+    * Exactly-once: foreachBatch is at-least-once, so the merge must be
+    * idempotent per batchId — each batch writes an INCREMENT-ONLY snapshot
+    * `table/delta_<batchId>`; a replayed batch finds the commit marker and
+    * skips. The marker is written last, so a torn write is invisible and the
+    * replay rewrites it. Weights are additive, so readers fold the committed
+    * deltas ([[readEdges]]) — the write path is O(batch), never a full-table
+    * rewrite (at production scale the same seam is an Iceberg row-level
+    * MERGE, and delta folding is its compaction maintenance).
+    */
+  def edgeMergeSink(
+      stream: DataFrame,
+      io: graft.sources.TableIO,
+      table: String,
+      checkpointDir: String,
+      watermark: String = "10 minutes"): org.apache.spark.sql.streaming.StreamingQuery =
+    dedupedTurns(stream, watermark)
+      .where(col("tool").isNotNull)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeBatch(io, table, batch.toDF(), id)
+      }
+      .start()
+
+  /** One idempotent micro-batch merge (the foreachBatch body, callable
+    * directly in tests): aggregates the batch to (conv_id, tool, weight)
+    * increments and commits them as `table/delta_<batchId>`. */
+  def mergeBatch(io: graft.sources.TableIO, table: String, batch: DataFrame, batchId: Long): Unit = {
+    val snap = f"$table/delta_$batchId%09d" // zero-padded: snapshots() sorts lexically
+    if (!io.exists(snap)) {
+      val inc = batch.groupBy(col("conv_id"), col("tool"))
+        .agg(count(lit(1)).as("weight"))
+      io.write(inc, snap)
+    }
+  }
+
+  /** Committed edge-table view: additive fold of every committed delta.
+    * Equals the batch derivation over the same turns (spec-asserted). */
+  def readEdges(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
+      table: String): DataFrame = {
+    val snaps = io.snapshots(table)
+    require(snaps.nonEmpty, s"no committed snapshots under $table")
+    snaps.map(io.read(spark, _)).reduce(_.unionByName(_))
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(sum(col("weight")).as("weight"))
+  }
 }

@@ -276,4 +276,43 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(got == exp)
   }
+
+  test("foreachBatch edge merge over two micro-batches equals the batch derivation") {
+    import graft.streaming.TranscriptStream
+    import graft.sources.ParquetDirTableIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-m").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-io").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ck").toString
+    val t = GraphFixture.transcripts.cache()
+    // two single-file slices → with maxFilesPerTrigger=1, two micro-batches;
+    // sliceB re-ships 30 of sliceA's turns (cross-batch duplicates the
+    // watermarked dedup state must drop)
+    val sliceA = t.where(col("turn_idx") % 2 === 0)
+    val sliceB = t.where(col("turn_idx") % 2 === 1).unionByName(sliceA.limit(30))
+    sliceA.coalesce(1).write.mode("append").parquet(dir)
+    sliceB.coalesce(1).write.mode("append").parquet(dir)
+
+    val io = new ParquetDirTableIO(root)
+    val stream = spark.readStream.schema(TranscriptStream.transcriptSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = TranscriptStream.edgeMergeSink(stream, io, "edges", ckpt)
+    q.processAllAvailable(); q.stop()
+
+    val snaps = io.snapshots("edges")
+    assert(snaps.size >= 2, s"expected >=2 delta snapshots, got $snaps")
+
+    def edges: Map[(String, String), Long] =
+      TranscriptStream.readEdges(spark, io, "edges")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val got = edges
+    val exp = t.dropDuplicates("conv_id", "turn_idx").where(col("tool").isNotNull)
+      .groupBy("conv_id", "tool").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == exp)
+
+    // exactly-once under foreachBatch replay: re-merging an already-committed
+    // batchId is a no-op (the commit marker short-circuits it)
+    TranscriptStream.mergeBatch(io, "edges", sliceA, 0L)
+    assert(edges == exp)
+  }
 }
