@@ -186,6 +186,23 @@ object Oracles {
        SELECT vid, CAST(SUM(weight) AS BIGINT) AS weight_sum
        FROM wsym GROUP BY vid ORDER BY vid"""
 
+  /** Generic aggregateMessages replay (SparkEntry.q_aggmsg): per-vertex
+    * deterministic state w = vid%7+1, msgToDst = src_w·weight,
+    * msgToSrc = dst_w, merge = sum — the two directed state joins unioned
+    * then grouped, exactly [[graft.operators.GraphOps.aggregateMessages]]. */
+  val qAggMsg: String =
+    s"""WITH $graphCtes, st AS MATERIALIZED (
+         SELECT vid, (vid % 7) + 1 AS w FROM vertices
+       ), m AS MATERIALIZED (
+         SELECT e.dst AS vid, s.w * e.weight AS msg
+         FROM edges e JOIN st s ON s.vid = e.src
+         UNION ALL
+         SELECT e.src AS vid, s.w AS msg
+         FROM edges e JOIN st s ON s.vid = e.dst
+       )
+       SELECT vid, CAST(SUM(msg) AS BIGINT) AS msg
+       FROM m GROUP BY vid ORDER BY vid"""
+
   val qTriplets: String =
     s"""WITH $graphCtes
        SELECT e.src, e.dst, e.weight, v1.key AS src_key, v2.key AS dst_key
@@ -413,6 +430,16 @@ object Oracles {
 
   private val toksCte =
     "toks AS MATERIALIZED (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)"
+
+  /** Vocab build replay: same tokenizer, exact tf/df, same (tf desc, tok
+    * asc) top-k order as [[graft.text.TextStats.vocab]]. */
+  val qVocab: String =
+    s"""WITH $toksCte, tfdf AS MATERIALIZED (
+         SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+         FROM toks GROUP BY tok
+       )
+       SELECT tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+       FROM tfdf ORDER BY tf DESC, tok ASC LIMIT 100"""
 
   val qTokenCount: String =
     """SELECT doc_id,

@@ -117,6 +117,16 @@ object SparkEntry {
     "q_weighted_degree" -> ((s, d) =>
       GraphOps.weightedDegrees(graph(s, d).edges).orderBy("vid")),
 
+    "q_aggmsg" -> ((s, d) => { // generic aggregateMessages (both directions)
+      val g = graph(s, d)
+      val state = g.vertices.select(col("vid"), (pmod(col("vid"), lit(7L)) + 1L).as("w"))
+      GraphOps.aggregateMessages(g.edges, state,
+        msgToDst = Some(col("src_w") * col("weight")),
+        msgToSrc = Some(col("dst_w")),
+        merge = sum(col("msg")))
+        .orderBy("vid")
+    }),
+
     "q_triplets" -> ((s, d) => {
       val g = graph(s, d)
       GraphOps.triplets(g.edges, g.vertices).orderBy("src", "dst")
@@ -185,6 +195,10 @@ object SparkEntry {
 
     "q_token_count" -> ((s, d) =>
       graft.text.TextStats.tokenCounts(docs(s, d)).orderBy("doc_id")),
+
+    "q_vocab" -> ((s, d) => // corpus top-100 vocab with tf/df
+      graft.text.TextStats.vocab(docs(s, d), 100)
+        .orderBy(desc("tf"), asc("tok"))),
 
     "q_quality" -> ((s, d) =>
       graft.text.TextStats.qualityScores(docs(s, d)).orderBy("doc_id")),
@@ -288,6 +302,7 @@ object SparkEntry {
     "q_subgraph" -> Oracles.qSubgraph,
     "q_reverse" -> Oracles.qReverse,
     "q_weighted_degree" -> Oracles.qWeightedDegree,
+    "q_aggmsg" -> Oracles.qAggMsg,
     "q_triplets" -> Oracles.qTriplets,
     "q_typed_adjacency" -> Oracles.qTypedAdjacency,
     "q_group_edges" -> Oracles.qGroupEdges,
@@ -299,6 +314,7 @@ object SparkEntry {
     "q_node2vec" -> Oracles.qNode2vec,
     "q_metapath" -> Oracles.qMetapath,
     "q_token_count" -> Oracles.qTokenCount,
+    "q_vocab" -> Oracles.qVocab,
     "q_quality" -> Oracles.qQuality,
     "q_langid" -> Oracles.qLangid,
     "q_fingerprint" -> Oracles.qFingerprint,

@@ -31,6 +31,19 @@ object TextStats {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(tokens).as("n_tokens"))
 
+  /** Corpus vocabulary: top-k tokens by term frequency (ties broken by token
+    * asc) with exact document frequency — the vocab-building pass of a
+    * training-data pipeline. The global top-k executes as
+    * TakeOrderedAndProject over the partially-aggregated (token, tf, df)
+    * table — per-partition heaps, no single-partition window and no full
+    * sort, so the shape survives a 10⁹-document corpus (the shuffle carries
+    * one row per distinct token, not per occurrence). */
+  def vocab(docs: DataFrame, k: Int = 100): DataFrame =
+    docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .orderBy(desc("tf"), asc("tok")).limit(k)
+
   /** Length / punctuation / stopword-ratio quality features, rounded to 6
     * decimals for cross-engine float parity. */
   def qualityScores(docs: DataFrame): DataFrame = {
