@@ -45,6 +45,18 @@ object PlanAudit {
     graft.text.TextStats.tokenCounts(spark.read.parquet(s"$sfDir/documents.parquet"))
       .explain("formatted")
 
+    println("=== D. vocab top-k (expect partial+final HashAggregate then TakeOrderedAndProject — no Window, no full Sort) ===")
+    graft.text.TextStats.vocab(spark.read.parquet(s"$sfDir/documents.parquet"), 100)
+      .explain("formatted")
+
+    println("=== E. generic aggregateMessages (expect two joins + Union + partial+final HashAggregate, no BroadcastExchange of state) ===")
+    val amState = g.vertices.select(col("vid"), (pmod(col("vid"), lit(7L)) + 1L).as("w"))
+    graft.operators.GraphOps.aggregateMessages(g.edges, amState,
+      msgToDst = Some(col("src_w") * col("weight")),
+      msgToSrc = Some(col("dst_w")),
+      merge = sum(col("msg")))
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -117,12 +117,15 @@ object GraphOps {
       "aggregateMessages: at least one message direction required")
     val srcState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"src_$c"))
     val dstState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"dst_$c"))
+    // shuffle-hash by hint, same rationale as PageRank.step: the state side
+    // is vertex-sized (never broadcast it blindly), and a sort-merge join
+    // would sort the EDGE side — pure waste at 10^12 edges
     val toDst = msgToDst.map { m =>
-      edges.join(srcState, col("src") === col("src_vid"))
+      edges.join(srcState.hint("shuffle_hash"), col("src") === col("src_vid"))
         .select(col("dst").as("vid"), m.as("msg"))
     }
     val toSrc = msgToSrc.map { m =>
-      edges.join(dstState, col("dst") === col("dst_vid"))
+      edges.join(dstState.hint("shuffle_hash"), col("dst") === col("dst_vid"))
         .select(col("src").as("vid"), m.as("msg"))
     }
     (toDst.toSeq ++ toSrc.toSeq).reduce(_ union _)
