@@ -186,6 +186,40 @@ object Oracles {
        SELECT vid, CAST(SUM(weight) AS BIGINT) AS weight_sum
        FROM wsym GROUP BY vid ORDER BY vid"""
 
+  /** Typed heterogeneous loader replay: same tokenize/skip/default-weight/
+    * self-loop rules as [[graft.sources.GraphLoader.typedEdgeListFile]]
+    * (fixture weights are dyadic rationals, so float→double is exact). */
+  val qTypedEdgeFile: String =
+    s"""WITH lines AS MATERIALIZED (
+         SELECT line FROM read_csv('/root/repo/fixtures/typed_edges.txt', header=false,
+                                   delim='', columns={'line':'VARCHAR'}, auto_detect=false)
+         WHERE line IS NOT NULL AND trim(line) <> '' AND line NOT LIKE '#%'
+       ), tok AS MATERIALIZED (
+         SELECT regexp_extract_all(trim(line), '\\S+') AS t FROM lines
+       )
+       SELECT CAST(t[1] AS BIGINT) AS src, CAST(t[2] AS INTEGER) AS src_type,
+              CAST(t[3] AS BIGINT) AS dst, CAST(t[4] AS INTEGER) AS dst_type,
+              ROUND(CASE WHEN len(t) >= 5 THEN CAST(t[5] AS DOUBLE)
+                    ELSE CAST(1.0 AS DOUBLE) END, 6) AS weight
+       FROM tok WHERE CAST(t[1] AS BIGINT) <> CAST(t[3] AS BIGINT)
+       ORDER BY src, dst"""
+
+  val qMapVertices: String =
+    s"""WITH $graphCtes
+       SELECT vid, key, kind, CASE WHEN kind = 'conv' THEN 1 ELSE 0 END AS is_conv
+       FROM vertices ORDER BY vid"""
+
+  val qMapEdges: String =
+    s"""WITH $graphCtes
+       SELECT src, dst, weight, weight * weight AS w2 FROM edges ORDER BY src, dst"""
+
+  val qGraphStats: String =
+    s"""WITH $graphCtes
+       SELECT (SELECT COUNT(*) FROM vertices) AS num_vertices,
+              (SELECT COUNT(*) FROM edges) AS num_edges,
+              (SELECT MIN(LEAST(src, dst)) FROM edges) AS min_vid,
+              (SELECT MAX(GREATEST(src, dst)) FROM edges) AS max_vid"""
+
   /** Generic aggregateMessages replay (SparkEntry.q_aggmsg): per-vertex
     * deterministic state w = vid%7+1, msgToDst = src_w·weight,
     * msgToSrc = dst_w, merge = sum — the two directed state joins unioned

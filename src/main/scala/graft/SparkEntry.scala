@@ -164,6 +164,30 @@ object SparkEntry {
       graft.sources.GraphLoader.edgeListFile(s, "/root/repo/fixtures/cora_sample.txt")
         .orderBy("src", "dst")),
 
+    "q_typed_edge_file" -> ((s, _) => // heterogeneous loader (plain typed cols)
+      graft.sources.GraphLoader.typedEdgeListFile(s, "/root/repo/fixtures/typed_edges.txt")
+        .select(col("src"), col("src_type").cast("int").as("src_type"),
+          col("dst"), col("dst_type").cast("int").as("dst_type"),
+          round(col("weight").cast("double"), 6).as("weight"))
+        .orderBy("src", "dst")),
+
+    "q_map_vertices" -> ((s, d) => // mapVertices: computed attribute column
+      GraphOps.mapVertices(graph(s, d).vertices, "is_conv",
+          (col("kind") === "conv").cast("int"))
+        .orderBy("vid")),
+
+    "q_map_edges" -> ((s, d) => // mapEdges: computed attribute column
+      GraphOps.mapEdges(graph(s, d).edges, "w2", col("weight") * col("weight"))
+        .orderBy("src", "dst")),
+
+    "q_graph_stats" -> ((s, d) => { // numVertices/numEdges/vertexIdBounds
+      val g = graph(s, d)
+      val (mn, mx) = GraphOps.vertexIdBounds(g.edges)
+      import s.implicits._
+      Seq((GraphOps.numVertices(g.vertices), GraphOps.numEdges(g.edges), mn, mx))
+        .toDF("num_vertices", "num_edges", "min_vid", "max_vid")
+    }),
+
     // ---- samplers (reference Reservoir / ARes semantics, deterministic) ----
 
     "q_sample_uniform" -> ((s, d) =>
@@ -308,6 +332,10 @@ object SparkEntry {
     "q_group_edges" -> Oracles.qGroupEdges,
     "q_merge_labels" -> Oracles.qMergeLabels,
     "q_edge_list_file" -> Oracles.qEdgeListFile,
+    "q_typed_edge_file" -> Oracles.qTypedEdgeFile,
+    "q_map_vertices" -> Oracles.qMapVertices,
+    "q_map_edges" -> Oracles.qMapEdges,
+    "q_graph_stats" -> Oracles.qGraphStats,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
     "q_deepwalk" -> Oracles.qDeepwalk,
