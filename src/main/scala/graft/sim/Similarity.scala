@@ -271,7 +271,14 @@ object Similarity {
     * are IDENTICAL to the declarative form: exact integer distances
     * Σ(xq−cq)², ordered (d asc, cid asc) — asserted equal on the clustered
     * fixture in SimilaritySpec. Output: (vec_id, cid, d, rn) with rn ∈
-    * [1, nprobe]. */
+    * [1, nprobe].
+    *
+    * Arithmetic envelope: distances accumulate in Long — exact (and
+    * identical to the declarative form) while dim·max(xq−cq)² < 2⁶³, i.e.
+    * per-coordinate |x| up to ~6·10⁴ at quant=1e6 and dim=1024; unit-norm
+    * embeddings sit ~10⁸ below the bound. Outside it the ANSI declarative
+    * form throws while this kernel would wrap — so the bound is the
+    * documented contract, not a silent divergence surface. */
   private def kernelProbeRanks(qv: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
