@@ -238,9 +238,16 @@ object ScalingBench {
     // BASELINE.md §d. The round-3 CSR mapPartitions A/B also measured
     // negative, 2.2-2.7× slower at both levels — §f; re-run it with
     // SPARK_GRAFT_SCALING_CSR=1.)
-    val s8 = timed("n8_big")(measure(8, 64, bigPath, 6))
-    val s32 = timed("n32_big")(measure(32, 256, bigPath, 6))
-    val csr = if (sys.env.get("SPARK_GRAFT_SCALING_CSR").contains("1"))
+    // SPARK_GRAFT_SCALING_ONLY=med: run just the 2→8 pair (the ≥0.8
+    // criterion's regime). The full run takes ~15 min — long enough that
+    // co-tenant load routinely arrives mid-run and poisons the tail levels
+    // (the 2026-08-17 full run started at load 0.63 and had load 15.6 by
+    // n2_med); the med pair fits a ~3-minute idle window.
+    val medOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("med")
+    val big = if (medOnly) None
+      else Some((timed("n8_big")(measure(8, 64, bigPath, 6)),
+        timed("n32_big")(measure(32, 256, bigPath, 6))))
+    val csr = if (!medOnly && sys.env.get("SPARK_GRAFT_SCALING_CSR").contains("1"))
       Some((timed("n8_big_csr")(measureCsr(8, 64, bigPath, 6)),
         timed("n32_big_csr")(measureCsr(32, 256, bigPath, 6))))
     else None
@@ -248,12 +255,16 @@ object ScalingBench {
     val m8 = timed("n8_med")(measure(8, 32, medPath, 8))
 
     def eff(n: Measured, n4: Measured) = (n4.thrMin / (4.0 * n.thrMin), n4.thrMean / (4.0 * n.thrMean))
-    val (big832min, big832mean) = eff(s8, s32)
     val (med28min, med28mean) = eff(m2, m8)
 
     def block(name: String, m: Measured, cores: Int) =
       f""""$name":{"cores":$cores,"sym_edges":${m.symEdges},"mean_iter_sec":${m.meanIter}%.3f,"min_iter_sec":${m.minIter}%.3f,"edges_per_sec_per_iter_min":${m.thrMin}%.0f}"""
 
+    val bigJson = big.map { case (s8, s32) =>
+      val (mn, mean) = eff(s8, s32)
+      (f""","strong_8_32_big":{"min":$mn%.3f,"mean":$mean%.3f}""",
+        s",${block("n8_big", s8, 8)},${block("n32_big", s32, 32)}")
+    }.getOrElse(("", ""))
     val csrJson = csr.map { case (c8, c32) =>
       val (mn, mean) = eff(c8, c32)
       (f""","strong_8_32_big_csr":{"min":$mn%.3f,"mean":$mean%.3f}""",
@@ -267,6 +278,6 @@ object ScalingBench {
     // per-executor scaling rather than DRAM saturation. The 8→32 big-graph
     // pair is reported alongside, with both regimes explained in BASELINE.md.
     println(
-      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f},"strong_8_32_big":{"min":$big832min%.3f,"mean":$big832mean%.3f}${csrJson._1}},${block("n8_big", s8, 8)},${block("n32_big", s32, 32)}${csrJson._2},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)},"load_1m":$loadJson}""")
+      f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f}${bigJson._1}${csrJson._1}}${bigJson._2}${csrJson._2},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)},"load_1m":$loadJson}""")
   }
 }
