@@ -222,6 +222,17 @@ object ScalingBench {
     val bigPath = s"$workDir/adj_big_$bigConvs"
     val medPath = s"$workDir/adj_med_$medConvs"
     prep(medConvs, medPath)
+
+    // SPARK_GRAFT_SCALING_ONLY=med: run just the repeated 2→8 pair (the
+    // ≥0.8 criterion's regime), without touching the big graph. The full
+    // run takes ~15 min — long enough that co-tenant load routinely
+    // arrives mid-run and poisons the tail levels (the 2026-08-17 full run
+    // started at load 0.63 and had load 15.6 by n2_med); the repeated med
+    // pair fits a ~6-minute idle window and reports the per-rep
+    // distribution instead of one flip-prone sample.
+    if (sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("med")) {
+      runMedPair(medPath); return
+    }
     prep(bigConvs, bigPath)
 
     val loads = Seq.newBuilder[(String, Double, Double)]
@@ -238,16 +249,10 @@ object ScalingBench {
     // BASELINE.md §d. The round-3 CSR mapPartitions A/B also measured
     // negative, 2.2-2.7× slower at both levels — §f; re-run it with
     // SPARK_GRAFT_SCALING_CSR=1.)
-    // SPARK_GRAFT_SCALING_ONLY=med: run just the 2→8 pair (the ≥0.8
-    // criterion's regime). The full run takes ~15 min — long enough that
-    // co-tenant load routinely arrives mid-run and poisons the tail levels
-    // (the 2026-08-17 full run started at load 0.63 and had load 15.6 by
-    // n2_med); the med pair fits a ~3-minute idle window.
-    val medOnly = sys.env.get("SPARK_GRAFT_SCALING_ONLY").contains("med")
-    val big = if (medOnly) None
-      else Some((timed("n8_big")(measure(8, 64, bigPath, 6)),
+    val big =
+      Some((timed("n8_big")(measure(8, 64, bigPath, 6)),
         timed("n32_big")(measure(32, 256, bigPath, 6))))
-    val csr = if (!medOnly && sys.env.get("SPARK_GRAFT_SCALING_CSR").contains("1"))
+    val csr = if (sys.env.get("SPARK_GRAFT_SCALING_CSR").contains("1"))
       Some((timed("n8_big_csr")(measureCsr(8, 64, bigPath, 6)),
         timed("n32_big_csr")(measureCsr(32, 256, bigPath, 6))))
     else None
@@ -279,5 +284,35 @@ object ScalingBench {
     // pair is reported alongside, with both regimes explained in BASELINE.md.
     println(
       f"""{"metric":"scaling_efficiency","value":$med28min%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"min":$med28min%.3f,"mean":$med28mean%.3f}${bigJson._1}${csrJson._1}}${bigJson._2}${csrJson._2},${block("n2_med", m2, 2)},${block("n8_med", m8, 8)},"load_1m":$loadJson}""")
+  }
+
+  /** Repeated 2→8-core pair (SPARK_GRAFT_SCALING_ONLY=med): JIT warm-up on
+    * 8 cores (NOT 32 — a 32-core warm-up leaves a decaying own-load in the
+    * 1-min average that masquerades as co-tenant steal in the n2 sample),
+    * then `reps` alternating n2/n8 measurements. Reports every rep's
+    * min-based efficiency plus the median as the headline — single pairs
+    * flip ±15% run-to-run on this box, the distribution doesn't. */
+  private def runMedPair(medPath: String): Unit = {
+    val reps = sys.env.getOrElse("SPARK_GRAFT_SCALING_REPS", "3").toInt
+    measure(8, 32, medPath, 3) // JIT warm-up at the pair's own max width
+    val results = (1 to reps).map { r =>
+      val pre2 = load1
+      val m2 = measure(2, 32, medPath, 5)
+      val pre8 = load1
+      val m8 = measure(8, 32, medPath, 8)
+      val post = load1
+      val effMin = m8.thrMin / (4.0 * m2.thrMin)
+      val effMean = m8.thrMean / (4.0 * m2.thrMean)
+      (m2, m8, effMin, effMean, Seq(pre2, pre8, post))
+    }
+    val sorted = results.map(_._3).sorted
+    val median = sorted(sorted.size / 2)
+    val repJson = results.zipWithIndex.map { case ((m2, m8, eMin, eMean, ld), i) =>
+      f"""{"rep":${i + 1},"eff_min":$eMin%.3f,"eff_mean":$eMean%.3f,""" +
+        f""""n2_min_iter_sec":${m2.minIter}%.3f,"n8_min_iter_sec":${m8.minIter}%.3f,""" +
+        f""""load_1m":[${ld.map(l => f"$l%.2f").mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    println(
+      f"""{"metric":"scaling_efficiency","value":$median%.3f,"unit":"ratio","protocols":{"strong_2_8_med":{"median_min":$median%.3f,"all_min":[${sorted.map(e => f"$e%.3f").mkString(",")}]}},"sym_edges":${results.head._1.symEdges},"reps":$repJson}""")
   }
 }
