@@ -182,9 +182,13 @@ object SparkEntry {
 
     "q_graph_stats" -> ((s, d) => { // numVertices/numEdges/vertexIdBounds
       val g = graph(s, d)
-      val (mn, mx) = GraphOps.vertexIdBounds(g.edges)
+      // the three stat APIs are separate actions; lazy leaves keep each from
+      // re-running the whole derivation (4 derivations -> 1)
+      val edges = g.edges.localCheckpoint(false)
+      val vertices = g.vertices.localCheckpoint(false)
+      val (mn, mx) = GraphOps.vertexIdBounds(edges)
       import s.implicits._
-      Seq((GraphOps.numVertices(g.vertices), GraphOps.numEdges(g.edges), mn, mx))
+      Seq((GraphOps.numVertices(vertices), GraphOps.numEdges(edges), mn, mx))
         .toDF("num_vertices", "num_edges", "min_vid", "max_vid")
     }),
 
