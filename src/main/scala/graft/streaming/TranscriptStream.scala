@@ -85,20 +85,57 @@ object TranscriptStream {
   def mergeBatch(io: graft.sources.TableIO, table: String, batch: DataFrame, batchId: Long): Unit = {
     val snap = f"$table/delta_$batchId%09d" // zero-padded: snapshots() sorts lexically
     if (!io.exists(snap)) {
-      val inc = batch.groupBy(col("conv_id"), col("tool"))
+      // null-tool turns carry no edge; filter here too (not just in the
+      // stream) so a directly-merged batch can't pollute the edge table
+      val inc = batch.where(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("tool"))
         .agg(count(lit(1)).as("weight"))
       io.write(inc, snap)
     }
   }
 
-  /** Committed edge-table view: additive fold of every committed delta.
-    * Equals the batch derivation over the same turns (spec-asserted). */
+  /** Committed edge-table view: the latest compaction (if any) plus the
+    * additive fold of deltas committed after it. Equals the batch
+    * derivation over the same turns (spec-asserted). */
   def readEdges(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
       table: String): DataFrame = {
-    val snaps = io.snapshots(table)
-    require(snaps.nonEmpty, s"no committed snapshots under $table")
-    snaps.map(io.read(spark, _)).reduce(_.unionByName(_))
+    val (base, deltas) = baseAndTail(io, table)
+    val parts = base.toSeq ++ deltas
+    require(parts.nonEmpty, s"no committed snapshots under $table")
+    parts.map(io.read(spark, _)).reduce(_.unionByName(_))
       .groupBy(col("conv_id"), col("tool"))
       .agg(sum(col("weight")).as("weight"))
+  }
+
+  /** Fold everything committed so far into ONE consolidated snapshot
+    * `compact_<lastDeltaId>` — the parquet-seam analog of Iceberg's
+    * rewrite_data_files maintenance: reader cost stops growing with batch
+    * count while the delta log stays intact as the replay record. Readers
+    * pick it up automatically ([[readEdges]] folds only deltas newer than
+    * the latest compaction). Idempotent per lastDeltaId (marker check),
+    * and a concurrent reader sees either the old or the new view — both
+    * correct, since the compaction carries the same additive content. */
+  def compact(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
+      table: String): Unit = {
+    val (_, deltas) = baseAndTail(io, table)
+    if (deltas.nonEmpty) {
+      val lastId = deltas.last.split('/').last.stripPrefix("delta_")
+      val snap = s"$table/compact_$lastId"
+      if (!io.exists(snap)) io.write(readEdges(spark, io, table), snap)
+    }
+  }
+
+  /** (latest compaction, deltas committed after it) — zero-padded ids make
+    * string order == numeric order. */
+  private def baseAndTail(io: graft.sources.TableIO, table: String): (Option[String], Seq[String]) = {
+    val names = io.snapshots(table)
+    val compacts = names.filter(_.split('/').last.startsWith("compact_"))
+    val deltas = names.filter(_.split('/').last.startsWith("delta_"))
+    compacts.lastOption match {
+      case Some(c) =>
+        val cid = c.split('/').last.stripPrefix("compact_")
+        (Some(c), deltas.filter(_.split('/').last.stripPrefix("delta_") > cid))
+      case None => (None, deltas)
+    }
   }
 }

@@ -314,5 +314,21 @@ class StreamingSpec extends SparkTestBase {
     // batchId is a no-op (the commit marker short-circuits it)
     TranscriptStream.mergeBatch(io, "edges", sliceA, 0L)
     assert(edges == exp)
+
+    // compaction folds the deltas into one snapshot without changing the view
+    TranscriptStream.compact(spark, io, "edges")
+    assert(io.snapshots("edges").exists(_.contains("compact_")), "no compaction written")
+    assert(edges == exp)
+    TranscriptStream.compact(spark, io, "edges") // idempotent: no new deltas
+    assert(edges == exp)
+
+    // a post-compaction delta folds on top of the compacted base
+    val extra = t.limit(25) // duplicates of already-merged turns: weights add
+    TranscriptStream.mergeBatch(io, "edges", extra, 99L)
+    val expPlus = t.dropDuplicates("conv_id", "turn_idx").where(col("tool").isNotNull)
+      .unionByName(extra.where(col("tool").isNotNull))
+      .groupBy("conv_id", "tool").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(edges == expPlus)
   }
 }
