@@ -73,11 +73,7 @@ object Bench {
     java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
       .map(_.getCollectionTime).sum
 
-  /** 1-minute load average (whole host, co-tenants included) — -1 if
-    * unreadable. */
-  private def load1: Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  private def load1: Double = graft.core.HostLoad.load1
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

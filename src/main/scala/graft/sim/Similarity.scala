@@ -356,6 +356,23 @@ object Similarity {
       .localCheckpoint(false)
   }
 
+  /** Exact integer cell distances, declarative form: exploded vectors ⋈
+    * broadcast centroid rows on dim index → partial+final aggregate. */
+  private def declarativeDists(ex: DataFrame, cent: DataFrame): DataFrame =
+    ex.join(broadcast(cent), "i0")
+      .groupBy(col("vec_id"), col("cid"))
+      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
+
+  /** Argmin cell per vector, declarative form — the ONE definition of the
+    * (d, cid) min-struct tie-break, shared by the production Lloyd loop and
+    * the IvfLab A/B arm (so the lab can never silently measure a different
+    * computation than ships). */
+  private def declarativeAssign(ex: DataFrame, cent: DataFrame): DataFrame =
+    declarativeDists(ex, cent)
+      .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
+      .groupBy("vec_id").agg(min(col("s")).as("s"))
+      .select(col("vec_id"), col("s.cid").as("cid"))
+
   /** Lab hook ([[graft.IvfLab]]): ONE assignment pass of the Lloyd loop over
     * the init centroids, in either form — the A/B surface for the
     * declarative-vs-kernel assignment measurement. */
@@ -365,12 +382,7 @@ object Similarity {
     val cent = initCentroids(embeddings, ex, nlist)
     if (kernel) kernelProbeRanks(quantVectors(embeddings, quant), cent, 1)
       .select(col("vec_id"), col("cid"))
-    else ex.join(broadcast(cent), "i0")
-      .groupBy(col("vec_id"), col("cid"))
-      .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
-      .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
-      .groupBy("vec_id").agg(min(col("s")).as("s"))
-      .select(col("vec_id"), col("s.cid").as("cid"))
+    else declarativeAssign(ex, cent)
   }
 
   private def ivfTopKDim(
@@ -387,18 +399,11 @@ object Similarity {
     // kernel path input: same quantization as `ex`, vector-per-row
     val qv = if (!kernelAssign) None else Some(quantVectors(embeddings, quant))
     var cent = initCentroids(embeddings, ex, nlist)
-    def dists(c: DataFrame): DataFrame = // exact integer cell distances
-      ex.join(broadcast(c), "i0")
-        .groupBy(col("vec_id"), col("cid"))
-        .agg(sum((col("xq") - col("cq")) * (col("xq") - col("cq"))).as("d"))
     // argmin cell per vector: declarative min-struct, or the mapPartitions
     // kernel (identical exact-integer (d, cid) order)
     def assign(c: DataFrame): DataFrame = qv match {
       case Some(q) => kernelProbeRanks(q, c, 1).select(col("vec_id"), col("cid"))
-      case None => dists(c)
-        .select(col("vec_id"), struct(col("d"), col("cid")).as("s"))
-        .groupBy("vec_id").agg(min(col("s")).as("s"))
-        .select(col("vec_id"), col("s.cid").as("cid"))
+      case None => declarativeAssign(ex, c)
     }
     for (_ <- 1 to iters) {
       cent = assign(cent).join(ex, "vec_id")
@@ -412,7 +417,7 @@ object Similarity {
       case None =>
         val rankW = org.apache.spark.sql.expressions.Window
           .partitionBy("vec_id").orderBy(col("d").asc, col("cid").asc)
-        dists(cent).withColumn("rn", row_number().over(rankW))
+        declarativeDists(ex, cent).withColumn("rn", row_number().over(rankW))
           .where(col("rn") <= nprobe)
     }).localCheckpoint(false)
     val lists = ranked.where(col("rn") === 1).select(col("vec_id"), col("cid"))

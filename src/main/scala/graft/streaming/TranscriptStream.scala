@@ -94,17 +94,25 @@ object TranscriptStream {
     }
   }
 
+  /** Additive fold of an explicit snapshot set — the single definition both
+    * the reader view and the compactor share, so what gets folded is always
+    * exactly one listing (never two listings that could straddle a
+    * concurrent delta commit). */
+  private def foldSnapshots(spark: org.apache.spark.sql.SparkSession,
+      io: graft.sources.TableIO, parts: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, "no committed snapshots to fold")
+    parts.map(io.read(spark, _)).reduce(_.unionByName(_))
+      .groupBy(col("conv_id"), col("tool"))
+      .agg(sum(col("weight")).as("weight"))
+  }
+
   /** Committed edge-table view: the latest compaction (if any) plus the
     * additive fold of deltas committed after it. Equals the batch
     * derivation over the same turns (spec-asserted). */
   def readEdges(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
       table: String): DataFrame = {
     val (base, deltas) = baseAndTail(io, table)
-    val parts = base.toSeq ++ deltas
-    require(parts.nonEmpty, s"no committed snapshots under $table")
-    parts.map(io.read(spark, _)).reduce(_.unionByName(_))
-      .groupBy(col("conv_id"), col("tool"))
-      .agg(sum(col("weight")).as("weight"))
+    foldSnapshots(spark, io, base.toSeq ++ deltas)
   }
 
   /** Fold everything committed so far into ONE consolidated snapshot
@@ -112,16 +120,20 @@ object TranscriptStream {
     * rewrite_data_files maintenance: reader cost stops growing with batch
     * count while the delta log stays intact as the replay record. Readers
     * pick it up automatically ([[readEdges]] folds only deltas newer than
-    * the latest compaction). Idempotent per lastDeltaId (marker check),
-    * and a concurrent reader sees either the old or the new view — both
+    * the latest compaction). The snapshot list is taken ONCE and that exact
+    * set is folded and named — a delta committed while the compaction runs
+    * is neither folded nor covered by the name, so it stays in the reader's
+    * tail and is counted exactly once. Idempotent per lastDeltaId (marker
+    * check); a concurrent reader sees either the old or the new view — both
     * correct, since the compaction carries the same additive content. */
   def compact(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
       table: String): Unit = {
-    val (_, deltas) = baseAndTail(io, table)
+    val (base, deltas) = baseAndTail(io, table) // the one listing
     if (deltas.nonEmpty) {
       val lastId = deltas.last.split('/').last.stripPrefix("delta_")
       val snap = s"$table/compact_$lastId"
-      if (!io.exists(snap)) io.write(readEdges(spark, io, table), snap)
+      if (!io.exists(snap))
+        io.write(foldSnapshots(spark, io, base.toSeq ++ deltas), snap)
     }
   }
 

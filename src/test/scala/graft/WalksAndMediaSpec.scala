@@ -323,7 +323,10 @@ class StreamingSpec extends SparkTestBase {
     assert(edges == exp)
 
     // a post-compaction delta folds on top of the compacted base
-    val extra = t.limit(25) // duplicates of already-merged turns: weights add
+    // orderBy before limit: the slice is evaluated in TWO jobs (the merge
+    // write and the expected-side collect) — an unordered limit could pick
+    // different rows each time
+    val extra = t.orderBy("conv_id", "turn_idx").limit(25)
     TranscriptStream.mergeBatch(io, "edges", extra, 99L)
     val expPlus = t.dropDuplicates("conv_id", "turn_idx").where(col("tool").isNotNull)
       .unionByName(extra.where(col("tool").isNotNull))
