@@ -594,7 +594,10 @@ object Oracles {
     * [[graft.functions.PortableHash]]), the 16 polynomial band hashes, the
     * banded candidate join, and the exact-Jaccard verify — bit-for-bit the
     * engine's arithmetic. */
-  val qMinhashLsh: String = {
+  /** Shared MinHash-LSH CTE chain (shingles → fingerprints → 64-min
+    * signatures → 16 band hashes → banded candidates) — one definition
+    * feeding both the pair query and the clustering replay. */
+  private lazy val minhashCandCtes: String = {
     import graft.functions.PortableHash.{P, aCoef, bCoef, md5Pack60Sql}
     val h60 = md5Pack60Sql("shingle")
     val minCols = (0 until 64)
@@ -603,7 +606,7 @@ object Oracles {
       val bh = (0 until 4).foldLeft("0")((acc, r) => s"(($acc * 1009 + mh${b * 4 + r}) % $P)")
       s"SELECT doc_id, $b AS band, $bh AS bh FROM mins"
     }.mkString(" UNION ALL ")
-    s"""WITH $shingleCtes, fps AS MATERIALIZED (
+    s"""$shingleCtes, fps AS MATERIALIZED (
          SELECT doc_id, $h60 % $P AS fp FROM sh
        ), mins AS MATERIALIZED (
          SELECT doc_id, $minCols FROM fps GROUP BY doc_id
@@ -612,7 +615,11 @@ object Oracles {
          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
          GROUP BY 1, 2
-       )
+       )"""
+  }
+
+  val qMinhashLsh: String =
+    s"""WITH $minhashCandCtes
        SELECT c.doc_a, c.doc_b,
               ROUND(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
        FROM cand c
@@ -621,6 +628,37 @@ object Oracles {
        JOIN sizes sb ON sb.doc_id = c.doc_b
        WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.5 AS DOUBLE)
        ORDER BY c.doc_a, c.doc_b"""
+
+  /** Near-dup clustering replay ([[graft.dedup.Dedup.clusters]]): the
+    * verified MinHash-LSH pairs become an undirected graph; 8 unrolled
+    * synchronous min-canonical propagation rounds (the fixed round count is
+    * what makes the flow replayable — convergence-driven CC would need a
+    * data-dependent oracle). */
+  val qDedupClusters: String = {
+    val rounds = (1 to 8).map { k =>
+      s"""s$k AS MATERIALIZED (
+         SELECT s.doc_id, LEAST(s.canonical, COALESCE(m.mc, s.canonical)) AS canonical
+         FROM s${k - 1} s LEFT JOIN (
+           SELECT p.dst AS doc_id, MIN(x.canonical) AS mc
+           FROM symp p JOIN s${k - 1} x ON x.doc_id = p.src GROUP BY p.dst
+         ) m ON m.doc_id = s.doc_id
+       )"""
+    }.mkString(", ")
+    s"""WITH $minhashCandCtes, vpairs AS MATERIALIZED (
+         SELECT c.doc_a, c.doc_b
+         FROM cand c
+         JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+         JOIN sizes sa ON sa.doc_id = c.doc_a
+         JOIN sizes sb ON sb.doc_id = c.doc_b
+         WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.5 AS DOUBLE)
+       ), symp AS MATERIALIZED (
+         SELECT doc_a AS src, doc_b AS dst FROM vpairs
+         UNION ALL
+         SELECT doc_b AS src, doc_a AS dst FROM vpairs
+       ), s0 AS MATERIALIZED (
+         SELECT doc_id, doc_id AS canonical FROM documents
+       ), $rounds
+       SELECT doc_id, canonical AS canonical_id FROM s8 ORDER BY doc_id"""
   }
 
   /** SimHash: portable 60-bit token hash, 60 conditional-sum bit votes,

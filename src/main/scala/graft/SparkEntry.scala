@@ -258,6 +258,10 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    "q_dedup_clusters" -> ((s, d) => // full dedup flow: LSH pairs -> CC -> canonical
+      graft.dedup.Dedup.clusters(docs(s, d), minJaccard = 0.5)
+        .orderBy("doc_id")),
+
     "q_simhash" -> ((s, d) =>
       graft.dedup.Dedup.simhashPairs(docs(s, d), maxHamming = 3).orderBy("doc_a", "doc_b")),
 
@@ -353,6 +357,7 @@ object SparkEntry {
     "q_dedup_exact" -> Oracles.qDedupExact,
     "q_ngram_jaccard" -> Oracles.qNgramJaccard,
     "q_minhash_lsh" -> Oracles.qMinhashLsh,
+    "q_dedup_clusters" -> Oracles.qDedupClusters,
     "q_simhash" -> Oracles.qSimhash,
     "q_ann_cosine" -> Oracles.qAnnCosine,
     "q_ann_lsh" -> Oracles.qAnnLsh,

@@ -159,6 +159,46 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** End-to-end near-dup clustering — the production dedup flow composed
+    * from the engine's own pieces: MinHash-LSH candidates → exact-Jaccard
+    * verify ([[minhashLsh]]) → undirected pair graph → `rounds` synchronous
+    * min-canonical propagation steps → (doc_id, canonical_id). Every doc
+    * appears (singletons map to themselves); near-dup pairs share the
+    * cluster-minimum doc_id.
+    *
+    * The FIXED round count is what keeps the whole flow bit-replayable in
+    * the DuckDB oracle (convergence-driven CC would need a data-dependent
+    * oracle — the graph CC operators remain the general tool). One round
+    * advances each vertex's minimum one hop, so `rounds` bounds the covered
+    * component diameter; near-dup components are chain-like and tiny, and 8
+    * is generous. Scale shape per round: one edge⋈state shuffle-hash join +
+    * one partial-agg min — the PageRank superstep shape over a pair graph
+    * that is orders of magnitude smaller than the corpus. */
+  def clusters(
+      docs: DataFrame,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      rounds: Int = 8): DataFrame = {
+    val pairs = minhashLsh(docs, n, numHashes, bands, minJaccard)
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(false) // referenced every round
+    var state = docs.select(col("doc_id"), col("doc_id").as("canonical"))
+    for (_ <- 1 to rounds) {
+      val msgs = sym
+        .join(state.select(col("doc_id").as("src"), col("canonical").as("c"))
+          .hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("c")).as("mc"))
+      state = state.join(msgs.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("canonical"), coalesce(col("mc"), col("canonical"))).as("canonical"))
+        .localCheckpoint(false) // plan truncation per round
+    }
+    state.select(col("doc_id"), col("canonical").as("canonical_id"))
+  }
+
   /** 60-bit SimHash signature per doc, token-weighted (each occurrence votes
     * ±1 per bit). The token hash is the portable 60-bit md5-nibble pack, so
     * the DuckDB oracle recomputes signatures exactly. ONE aggregate with 60

@@ -63,6 +63,31 @@ class DedupSpec extends SparkTestBase {
     assert(near < unrelated, s"near-dup hamming $near !< unrelated $unrelated")
   }
 
+  test("dedup clusters: transitive chain collapses to one canonical; singletons keep theirs") {
+    // chain 300~301~302 where 300~302 is BELOW threshold (jaccard ≈ 0.497):
+    // only min-propagation transitivity can put all three in one cluster
+    val toks = (0 until 600).map(j => s"t$j")
+    val chain = Seq((300L, toks.slice(0, 300)), (301L, toks.slice(50, 350)),
+        (302L, toks.slice(100, 400)),
+        (400L, (0 until 300).map(j => s"u$j"))) // unique vocab: a true singleton
+      .map { case (id, ws) => (id, ws.mkString(" ")) }
+    val all = docs.unionByName(spark.createDataFrame(chain).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(all, minJaccard = 0.5).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((300L, 301L)) && pairs.contains((301L, 302L)))
+    assert(!pairs.contains((300L, 302L)), "fixture must require transitivity")
+    val got = Dedup.clusters(all, minJaccard = 0.5).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(300L) == 300L && got(301L) == 300L && got(302L) == 300L)
+    // the exact+near dup family of doc 0 collapses to 0
+    assert(got(0L) == 0L && got(100L) == 0L && got(200L) == 0L)
+    // a doc with no dups is its own canonical; every doc appears. (The base
+    // fixture's shared-vocab docs chain into one large component — e.g.
+    // (0,9) jaccard 0.58 — so the singleton check uses the unique-vocab doc.)
+    assert(got(400L) == 400L)
+    assert(got.size == all.count())
+  }
+
   test("ngramJaccard df-cap: exact output for large tau, bounded candidates on hot shingles") {
     // a generous cap must not change the result (scores are verified exactly
     // either way; only candidate generation is pruned)
