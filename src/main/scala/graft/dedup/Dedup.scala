@@ -185,7 +185,13 @@ object Dedup {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false) // referenced every round
-    var state = docs.select(col("doc_id"), col("doc_id").as("canonical"))
+    // propagate ONLY over docs that appear in a pair: at corpus scale the
+    // dup-involved subset is a small fraction, so per-round state is tiny;
+    // everyone else is a singleton joined back at the end (identical
+    // semantics — a pairless doc never receives a message)
+    var state = sym.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("canonical"))
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val msgs = sym
         .join(state.select(col("doc_id").as("src"), col("canonical").as("c"))
@@ -196,7 +202,8 @@ object Dedup {
           least(col("canonical"), coalesce(col("mc"), col("canonical"))).as("canonical"))
         .localCheckpoint(false) // plan truncation per round
     }
-    state.select(col("doc_id"), col("canonical").as("canonical_id"))
+    docs.select(col("doc_id")).join(state.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
   }
 
   /** 60-bit SimHash signature per doc, token-weighted (each occurrence votes
