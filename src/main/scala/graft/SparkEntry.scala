@@ -282,6 +282,12 @@ object SparkEntry {
         .select("query_id", "rnk", "neighbor_id")
         .orderBy("query_id", "rnk")),
 
+    "q_ann_ivf_kernel" -> ((s, d) => // beyond-cap assignment path, same oracle:
+      // the mapPartitions kernel is bit-identical to the declarative stage
+      graft.sim.Similarity.ivfTopK(embeds(s, d), k = 10, nlist = 16, kernelAssign = true)
+        .select("query_id", "rnk", "neighbor_id")
+        .orderBy("query_id", "rnk")),
+
     "q_embed_dedup" -> ((s, d) =>
       graft.sim.Similarity.cosinePairs(embeds(s, d), minCosine = 0.45)
         .select("vec_a", "vec_b")
@@ -362,6 +368,7 @@ object SparkEntry {
     "q_ann_cosine" -> Oracles.qAnnCosine,
     "q_ann_lsh" -> Oracles.qAnnLsh,
     "q_ann_ivf" -> Oracles.qAnnIvf,
+    "q_ann_ivf_kernel" -> Oracles.qAnnIvf, // kernel == declarative, same replay
     "q_embed_dedup" -> Oracles.qEmbedDedup,
     "q_embed_dedup_lsh" -> Oracles.qEmbedDedupLsh,
     "q_svdpp" -> Oracles.qSvdpp,
