@@ -207,12 +207,9 @@ object ScalingBench {
     Measured(nEdges, times.sum / times.length, times.min)
   }
 
-  /** 1-minute load average (whole host — co-tenant steal included); -1 if
-    * unreadable. Sampled around every level so the efficiency criterion is
-    * evidenced against recorded load, not narrative (round-3 verdict #6). */
-  private def load1: Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    catch { case _: Throwable => -1.0 }
+  // sampled around every level so the efficiency criterion is evidenced
+  // against recorded load, not narrative (round-3 verdict #6)
+  private def load1: Double = graft.core.HostLoad.load1
 
   def main(args: Array[String]): Unit = {
     val bigConvs = sys.env.getOrElse("SPARK_GRAFT_SCALING_BIG", "50000000").toLong

@@ -181,7 +181,9 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       rounds: Int = 8): DataFrame = {
-    val pairs = minhashLsh(docs, n, numHashes, bands, minJaccard)
+    // leaf: both union branches reference pairs — without it each branch
+    // re-runs the whole LSH candidate + exact-verify subplan
+    val pairs = minhashLsh(docs, n, numHashes, bands, minJaccard).localCheckpoint(false)
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false) // referenced every round

@@ -99,8 +99,8 @@ object TranscriptStream {
     * exactly one listing (never two listings that could straddle a
     * concurrent delta commit). */
   private def foldSnapshots(spark: org.apache.spark.sql.SparkSession,
-      io: graft.sources.TableIO, parts: Seq[String]): DataFrame = {
-    require(parts.nonEmpty, "no committed snapshots to fold")
+      io: graft.sources.TableIO, table: String, parts: Seq[String]): DataFrame = {
+    require(parts.nonEmpty, s"no committed snapshots under $table")
     parts.map(io.read(spark, _)).reduce(_.unionByName(_))
       .groupBy(col("conv_id"), col("tool"))
       .agg(sum(col("weight")).as("weight"))
@@ -112,7 +112,7 @@ object TranscriptStream {
   def readEdges(spark: org.apache.spark.sql.SparkSession, io: graft.sources.TableIO,
       table: String): DataFrame = {
     val (base, deltas) = baseAndTail(io, table)
-    foldSnapshots(spark, io, base.toSeq ++ deltas)
+    foldSnapshots(spark, io, table, base.toSeq ++ deltas)
   }
 
   /** Fold everything committed so far into ONE consolidated snapshot
@@ -133,7 +133,7 @@ object TranscriptStream {
       val lastId = deltas.last.split('/').last.stripPrefix("delta_")
       val snap = s"$table/compact_$lastId"
       if (!io.exists(snap))
-        io.write(foldSnapshots(spark, io, base.toSeq ++ deltas), snap)
+        io.write(foldSnapshots(spark, io, table, base.toSeq ++ deltas), snap)
     }
   }
 
