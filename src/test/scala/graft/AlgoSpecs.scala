@@ -38,6 +38,28 @@ class PageRankSpec extends SparkTestBase {
     assert(res.metrics.nonEmpty && res.metrics.last.activeCount == 0)
   }
 
+  test("frontier (delta) PageRank agrees with the exact loop to tolerance order") {
+    val exact = PageRank.run(GraphFixture.graph.edges, tol = 1e-6, maxIter = 100)
+    val frontier = PageRank.runFrontier(GraphFixture.graph.edges, tol = 1e-6, maxIter = 100)
+    val e = exact.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f = frontier.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(f.keySet == e.keySet)
+    val maxDiff = e.map { case (v, x) => math.abs(f(v) - x) }.max
+    // frozen vertices skip sub-tol updates; agreement is tolerance-order,
+    // not bit-for-bit (runFrontier scaladoc)
+    assert(maxDiff <= 5e-6, s"max |frontier-exact| = $maxDiff")
+    assert(frontier.metrics.last.activeCount == 0)
+    // the frontier must actually SHRINK before convergence (the point of the
+    // variant): some mid-loop iteration has fewer active than the first
+    val actives = frontier.metrics.map(_.activeCount)
+    assert(actives.exists(a => a > 0 && a < actives.head),
+      s"frontier never shrank: $actives")
+    // and it must also match the driver-side power iteration within 5e-6
+    val exp = oracle(tolStop = true, iters = 100)
+    val vsOracle = exp.map { case (v, x) => math.abs(f(v) - x) }.max
+    assert(vsOracle <= 5e-6, s"max |frontier-power| = $vsOracle")
+  }
+
   test("PageRank seeds isolated vertices when a vertex table is supplied") {
     import spark.implicits._
     val edges = Seq((1L, 2L, 1L)).toDF("src", "dst", "weight")
