@@ -53,14 +53,17 @@ object Bench {
     * as loop_sec ≫ iterations·min_iter_sec, distinguishing environment noise
     * from engine regression inside the artifact itself. */
   def pagerankHeadline(
-      spark: SparkSession, nConvs: Long, nTools: Int): (Long, Int, Double, Double) = {
+      spark: SparkSession, nConvs: Long, nTools: Int,
+      frontier: Boolean = false): (Long, Int, Double, Double) = {
     val t = SyntheticTranscripts.generate(spark, nConvs, maxTurns = 20, nTools = nTools)
     val g = LinkGraph.fromTranscripts(t)
     val edges = g.edges.persist()
     val nEdges = 2L * edges.count() // both directions processed per iteration
     // (IterativeRunner disables AQE inside the superstep loop itself.)
     val t0 = System.nanoTime()
-    val res = PageRank.run(edges, tol = 1e-6, maxIter = 100)
+    val res =
+      if (frontier) PageRank.runFrontier(edges, tol = 1e-6, maxIter = 100)
+      else PageRank.run(edges, tol = 1e-6, maxIter = 100)
     res.ranks.count()
     val secs = (System.nanoTime() - t0) / 1e9
     edges.unpersist(false)
@@ -104,6 +107,13 @@ object Bench {
     val loadPost = load1
     val edgesPerSecPerIter = prEdges.toDouble * prIters / prSecs
     spark.catalog.clearCache()
+    // secondary metric: the frontier (delta) tolerance loop on the same
+    // graph — SAME stop semantics, rel-1e-8 agreement (BASELINE.md §g);
+    // reported beside the exact headline, never replacing it
+    val (frEdges, frIters, frSecs, frMinIter) =
+      pagerankHeadline(spark, headlineConvs, nTools = 500, frontier = true)
+    val frLoad = load1
+    spark.catalog.clearCache()
 
     final case class QRes(name: String, sec: Double, ok: Boolean, gcSec: Double, pos: Int)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map {
@@ -132,13 +142,15 @@ object Bench {
     val failedSec = results.collect { case r if !r.ok => r.sec }.sum
     val pr =
       f"""{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"min_iter_sec":$prMinIter%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f}"""
+    val prFrontier =
+      f"""{"sym_edges":$frEdges,"iterations":$frIters,"loop_sec":$frSecs%.3f,"min_iter_sec":$frMinIter%.3f,"edges_per_sec_per_iter":${frEdges.toDouble * frIters / frSecs}%.0f,"load_1m_post":$frLoad%.2f}"""
     val loads = f"""[$loadPre%.2f,$loadPost%.2f,$loadEnd%.2f]"""
     // fat diagnostics line first…
     println(
       f"""{"detail":"full","queries_meta":$meta,"sf":"$sfDir","headline_position":"first","cpus":$cpus}""")
     // …compact summary line LAST (bounded size: survives tail capture)
     println(
-      f"""{"metric":"total","value":$totalOk%.2f,"unit":"sec","queries":$qs,"failed":$failed,"failed_sec":$failedSec%.2f,"pagerank":$pr,"load_1m":$loads,"sf":"$sfDir","cpus":$cpus}""")
+      f"""{"metric":"total","value":$totalOk%.2f,"unit":"sec","queries":$qs,"failed":$failed,"failed_sec":$failedSec%.2f,"pagerank":$pr,"pagerank_frontier":$prFrontier,"load_1m":$loads,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }
