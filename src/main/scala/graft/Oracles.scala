@@ -136,6 +136,40 @@ object Oracles {
     s"""WITH $graphCtes, ${pagerankChain(10)}
        SELECT vid, ROUND(pr, 6) AS pr FROM r10 ORDER BY vid"""
 
+  /** Personalized PageRank replay ([[graft.algo.PageRank.runRestart]]): 10
+    * damped-restart iterations anchored on the deterministic source set
+    * (tool vertices with vid % 7 = 0) — the p-term multiplies r₀, not the
+    * running rank; contribution arithmetic identical to [[pagerankChain]]. */
+  val qPpr: String = {
+    val k = 10
+    val iters = (1 to k).map { i =>
+      s"""r$i AS MATERIALIZED (
+        SELECT r.vid, r.r0,
+               CAST(0.15 AS DOUBLE) * r.r0 + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
+        FROM r${i - 1} r
+        LEFT JOIN (
+          SELECT s.dst AS vid, SUM(c.contrib) AS s
+          FROM sym s JOIN (
+            SELECT r2.vid, r2.pr / d.d AS contrib
+            FROM r${i - 1} r2 JOIN deg d ON d.src = r2.vid
+          ) c ON c.vid = s.src
+          GROUP BY s.dst
+        ) m ON m.vid = r.vid
+      )"""
+    }.mkString(", ")
+    s"""WITH $graphCtes,
+       deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY src),
+       r0 AS MATERIALIZED (
+         SELECT vid,
+                CASE WHEN kind = 'tool' AND vid % 7 = 0
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r0,
+                CASE WHEN kind = 'tool' AND vid % 7 = 0
+                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr
+         FROM vertices
+       ), $iters
+       SELECT vid, ROUND(pr, 6) AS pr FROM r$k ORDER BY vid"""
+  }
+
   val qCc: String =
     s"""WITH RECURSIVE $graphCtes, reach(v, m) AS (
          SELECT vid, vid FROM vertices

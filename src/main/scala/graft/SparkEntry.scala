@@ -78,6 +78,16 @@ object SparkEntry {
       r.ranks.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
     }),
 
+    "q_ppr" -> ((s, d) => { // personalized PageRank / random-walk-with-restart
+      val g = graph(s, d)
+      val sources = g.vertices
+        .where(col("kind") === "tool" && pmod(col("vid"), lit(7L)) === 0L)
+        .select("vid")
+      PageRank.runRestart(g.edges, sources, iterations = 10)
+        .select(col("vid"), round(col("pr"), 6).as("pr"))
+        .orderBy("vid")
+    }),
+
     "q_pagerank_cs" -> ((s, d) =>
       PageRank.runFixed(csGraph(s, d).edges, iterations = 10)
         .select(col("vid"), round(col("pr"), 6).as("pr"))
@@ -341,6 +351,7 @@ object SparkEntry {
     "q_reverse" -> Oracles.qReverse,
     "q_weighted_degree" -> Oracles.qWeightedDegree,
     "q_aggmsg" -> Oracles.qAggMsg,
+    "q_ppr" -> Oracles.qPpr,
     "q_triplets" -> Oracles.qTriplets,
     "q_typed_adjacency" -> Oracles.qTypedAdjacency,
     "q_group_edges" -> Oracles.qGroupEdges,

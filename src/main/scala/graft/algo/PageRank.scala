@@ -168,6 +168,47 @@ object PageRank {
     Result(res.state.select("vid", "pr"), res.iterations, res.metrics)
   }
 
+  /** Personalized PageRank / random-walk-with-restart, fixed iterations
+    * (oracle-parity): the reset term anchors on the SOURCE set instead of
+    * the current rank —
+    *
+    *   r ← p·r₀ + (1−p)·Σ_{u∼v} r_u / deg(u),   r₀ = 1 on `sources`, else 0
+    *
+    * — the damped-restart analog of the reference's recurrence (its p·r
+    * term becomes p·r₀), converging to proximity-to-sources scores: the
+    * standard related-entity retrieval primitive over the link graph
+    * (e.g. "conversations most associated with this tool set"). Same
+    * superstep plan as [[runFixed]] — one exchange per iteration, rank side
+    * shuffle-hash, adjacency cached; the extra r₀ column rides the
+    * vertex-sized state. */
+  def runRestart(
+      edges: DataFrame,
+      sources: DataFrame,
+      iterations: Int,
+      resetProb: Double = 0.15): DataFrame = {
+    val sym = symCache(edges)
+    val init = initState(sym, None)
+      .join(sources.select(col("vid"), lit(1.0).as("r0")), Seq("vid"), "left")
+      .select(col("vid"), coalesce(col("r0"), lit(0.0)).as("r0"),
+        coalesce(col("r0"), lit(0.0)).as("pr"), col("deg"))
+    val res = IterativeRunner.loop(init, iterations) { (state, _) =>
+      val msgs = sym
+        .join(state.select(col("vid").as("src"),
+            when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0)).as("contrib"))
+          .hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("vid"))
+        .agg(sum(col("contrib")).as("msum"))
+      state
+        .join(msgs.hint("shuffle_hash"), Seq("vid"), "left")
+        .select(col("vid"), col("r0"),
+          (lit(resetProb) * col("r0") +
+            lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0))).as("pr"),
+          col("deg"))
+    } { _ => 1L } // fixed iterations
+    sym.unpersist(false)
+    res.state.select("vid", "pr")
+  }
+
   /** Fixed-iteration run (oracle-parity variant; no convergence action). */
   def runFixed(
       edges: DataFrame,

@@ -73,6 +73,27 @@ class PageRankSpec extends SparkTestBase {
     assert(math.abs(got(1L) - 1.0) < 1e-12 && math.abs(got(2L) - 1.0) < 1e-12)
   }
 
+  test("personalized PageRank (restart) matches the driver-side damped recurrence") {
+    import spark.implicits._
+    val srcIds = GraphFixture.vertexIds.filter(_ % 3 == 0)
+    val got = PageRank.runRestart(GraphFixture.graph.edges, srcIds.toDF("vid"), iterations = 8)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val adj = GraphFixture.adj
+    val deg = adj.map { case (k, v) => k -> v.size.toDouble }
+    val r0 = GraphFixture.vertexIds.map(v => v -> (if (srcIds.contains(v)) 1.0 else 0.0)).toMap
+    var r = r0
+    for (_ <- 1 to 8) {
+      val msum = mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((u, nbrs) <- adj; v <- nbrs) msum(v) += r(u) / deg(u)
+      r = r.map { case (v, _) => v -> (0.15 * r0(v) + 0.85 * msum(v)) }
+    }
+    assert(got.keySet == r.keySet)
+    val maxDiff = r.map { case (v, e) => math.abs(got(v) - e) }.max
+    assert(maxDiff < 1e-9, s"max |engine-oracle| = $maxDiff")
+    // proximity semantics: mass concentrates at/near sources
+    assert(srcIds.map(got).min > GraphFixture.vertexIds.filterNot(srcIds.contains).map(got).min)
+  }
+
   test("fixed-iteration PageRank matches 10-step power iteration") {
     val got = PageRank.runFixed(GraphFixture.graph.edges, 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
