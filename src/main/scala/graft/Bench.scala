@@ -52,13 +52,18 @@ object Bench {
     * per-iteration MIN is the steady-state number: co-tenant steal shows up
     * as loop_sec ≫ iterations·min_iter_sec, distinguishing environment noise
     * from engine regression inside the artifact itself. */
-  def pagerankHeadline(
-      spark: SparkSession, nConvs: Long, nTools: Int,
-      frontier: Boolean = false): (Long, Int, Double, Double) = {
+  /** Build-once headline graph: (persisted edges, symmetrized edge count). */
+  def headlineGraph(spark: SparkSession, nConvs: Long, nTools: Int):
+      (org.apache.spark.sql.DataFrame, Long) = {
     val t = SyntheticTranscripts.generate(spark, nConvs, maxTurns = 20, nTools = nTools)
     val g = LinkGraph.fromTranscripts(t)
     val edges = g.edges.persist()
-    val nEdges = 2L * edges.count() // both directions processed per iteration
+    (edges, 2L * edges.count()) // both directions processed per iteration
+  }
+
+  /** One timed tolerance loop over pre-built edges: (iterations, loop
+    * seconds, min iteration seconds). */
+  def timedLoop(edges: org.apache.spark.sql.DataFrame, frontier: Boolean): (Int, Double, Double) = {
     // (IterativeRunner disables AQE inside the superstep loop itself.)
     val t0 = System.nanoTime()
     val res =
@@ -66,10 +71,17 @@ object Bench {
       else PageRank.run(edges, tol = 1e-6, maxIter = 100)
     res.ranks.count()
     val secs = (System.nanoTime() - t0) / 1e9
-    edges.unpersist(false)
     val minIter =
       if (res.metrics.isEmpty) 0.0 else res.metrics.map(_.wallMs).min / 1e3
-    (nEdges, res.iterations, secs, minIter)
+    (res.iterations, secs, minIter)
+  }
+
+  def pagerankHeadline(
+      spark: SparkSession, nConvs: Long, nTools: Int): (Long, Int, Double, Double) = {
+    val (edges, nEdges) = headlineGraph(spark, nConvs, nTools)
+    val (iters, secs, minIter) = timedLoop(edges, frontier = false)
+    edges.unpersist(false)
+    (nEdges, iters, secs, minIter)
   }
 
   private def gcMillis: Long =
@@ -81,9 +93,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    val spark = graft.core.Sessions.localBuilder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -102,17 +112,16 @@ object Bench {
     // Graph large enough that per-superstep compute dominates the
     // per-iteration serial floor (see BASELINE.md §c) — ~13.7M directed edges
     val headlineConvs = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONVS", "2000000").toLong
-    val (prEdges, prIters, prSecs, prMinIter) =
-      pagerankHeadline(spark, headlineConvs, nTools = 500)
+    val (hlEdges, prEdges) = headlineGraph(spark, headlineConvs, nTools = 500)
+    val (prIters, prSecs, prMinIter) = timedLoop(hlEdges, frontier = false)
     val loadPost = load1
     val edgesPerSecPerIter = prEdges.toDouble * prIters / prSecs
-    spark.catalog.clearCache()
-    // secondary metric: the frontier (delta) tolerance loop on the same
-    // graph — SAME stop semantics, rel-1e-8 agreement (BASELINE.md §g);
-    // reported beside the exact headline, never replacing it
-    val (frEdges, frIters, frSecs, frMinIter) =
-      pagerankHeadline(spark, headlineConvs, nTools = 500, frontier = true)
+    // secondary metric: the frontier (delta) tolerance loop on the SAME
+    // pre-built graph — SAME stop semantics, rel-1e-8 agreement (BASELINE.md
+    // §g); reported beside the exact headline, never replacing it
+    val (frIters, frSecs, frMinIter) = timedLoop(hlEdges, frontier = true)
     val frLoad = load1
+    hlEdges.unpersist(false)
     spark.catalog.clearCache()
 
     final case class QRes(name: String, sec: Double, ok: Boolean, gcSec: Double, pos: Int)
@@ -142,8 +151,10 @@ object Bench {
     val failedSec = results.collect { case r if !r.ok => r.sec }.sum
     val pr =
       f"""{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"min_iter_sec":$prMinIter%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f}"""
+    // no edges/s/iter for the frontier loop: its iterations do NOT process
+    // all sym_edges by design — the honest figure is the wall-clock ratio
     val prFrontier =
-      f"""{"sym_edges":$frEdges,"iterations":$frIters,"loop_sec":$frSecs%.3f,"min_iter_sec":$frMinIter%.3f,"edges_per_sec_per_iter":${frEdges.toDouble * frIters / frSecs}%.0f,"load_1m_post":$frLoad%.2f}"""
+      f"""{"iterations":$frIters,"loop_sec":$frSecs%.3f,"min_iter_sec":$frMinIter%.3f,"speedup_vs_exact":${prSecs / frSecs}%.2f,"load_1m_post":$frLoad%.2f}"""
     val loads = f"""[$loadPre%.2f,$loadPost%.2f,$loadEnd%.2f]"""
     // fat diagnostics line first…
     println(

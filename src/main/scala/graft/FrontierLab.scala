@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
 object FrontierLab {
   def main(args: Array[String]): Unit = {
     val nConvs = args.headOption.map(_.toLong).getOrElse(2000000L)
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.core.Sessions.localBuilder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.local.dir", sys.env.getOrElse("SPARK_LOCAL_DIRS", "/dev/shm/graft-spark"))
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -54,14 +54,24 @@ object Oracles {
       SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges
     )"""
 
-  /** PageRank chain: k iterations of r ← p·r + (1−p)·Σ r_u/deg(u) over sym.
-    * The per-vertex contribution pr/deg is computed on the vertex side (same
-    * formulation as graft.algo.PageRank — identical doubles per term). */
-  def pagerankChain(k: Int, fromVertices: String = "vertices"): String = {
+  /** PageRank chain: k iterations of r ← p·RESET + (1−p)·Σ r_u/deg(u) over
+    * sym, where RESET is the running rank (standard chain) or — with
+    * `restartCond` — a fixed r₀ seeded 1 where the condition holds
+    * (personalized restart, [[graft.algo.PageRank.runRestart]]). ONE copy of
+    * the recurrence SQL serves both so the float-parity arithmetic cannot
+    * fork. The per-vertex contribution pr/deg is computed on the vertex side
+    * (same formulation as graft.algo.PageRank — identical doubles per term).
+    */
+  def pagerankChain(
+      k: Int,
+      fromVertices: String = "vertices",
+      restartCond: Option[String] = None): String = {
+    val resetRef = if (restartCond.isDefined) "r.r0" else "r.pr"
+    val carry = if (restartCond.isDefined) ", r.r0" else ""
     val iters = (1 to k).map { i =>
       s"""r$i AS MATERIALIZED (
-        SELECT r.vid,
-               CAST(0.15 AS DOUBLE) * r.pr + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
+        SELECT r.vid$carry,
+               CAST(0.15 AS DOUBLE) * $resetRef + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
         FROM r${i - 1} r
         LEFT JOIN (
           SELECT s.dst AS vid, SUM(c.contrib) AS s
@@ -73,8 +83,17 @@ object Oracles {
         ) m ON m.vid = r.vid
       )"""
     }.mkString(", ")
+    val r0 = restartCond match {
+      case Some(cond) =>
+        s"""r0 AS MATERIALIZED (SELECT vid,
+           CASE WHEN $cond THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r0,
+           CASE WHEN $cond THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr
+           FROM $fromVertices)"""
+      case None =>
+        s"r0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS pr FROM $fromVertices)"
+    }
     s"""deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY src),
-        r0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS pr FROM $fromVertices), $iters"""
+        $r0, $iters"""
   }
 
   /** LPA chain: k supersteps, argmax neighbor label, tie → min label. */
@@ -138,37 +157,11 @@ object Oracles {
 
   /** Personalized PageRank replay ([[graft.algo.PageRank.runRestart]]): 10
     * damped-restart iterations anchored on the deterministic source set
-    * (tool vertices with vid % 7 = 0) — the p-term multiplies r₀, not the
-    * running rank; contribution arithmetic identical to [[pagerankChain]]. */
-  val qPpr: String = {
-    val k = 10
-    val iters = (1 to k).map { i =>
-      s"""r$i AS MATERIALIZED (
-        SELECT r.vid, r.r0,
-               CAST(0.15 AS DOUBLE) * r.r0 + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr
-        FROM r${i - 1} r
-        LEFT JOIN (
-          SELECT s.dst AS vid, SUM(c.contrib) AS s
-          FROM sym s JOIN (
-            SELECT r2.vid, r2.pr / d.d AS contrib
-            FROM r${i - 1} r2 JOIN deg d ON d.src = r2.vid
-          ) c ON c.vid = s.src
-          GROUP BY s.dst
-        ) m ON m.vid = r.vid
-      )"""
-    }.mkString(", ")
-    s"""WITH $graphCtes,
-       deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY src),
-       r0 AS MATERIALIZED (
-         SELECT vid,
-                CASE WHEN kind = 'tool' AND vid % 7 = 0
-                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS r0,
-                CASE WHEN kind = 'tool' AND vid % 7 = 0
-                     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS pr
-         FROM vertices
-       ), $iters
-       SELECT vid, ROUND(pr, 6) AS pr FROM r$k ORDER BY vid"""
-  }
+    * (tool vertices with vid % 7 = 0) — the same [[pagerankChain]] scaffold
+    * with the reset term anchored on r₀. */
+  val qPpr: String =
+    s"""WITH $graphCtes, ${pagerankChain(10, restartCond = Some("kind = 'tool' AND vid % 7 = 0"))}
+       SELECT vid, ROUND(pr, 6) AS pr FROM r10 ORDER BY vid"""
 
   val qCc: String =
     s"""WITH RECURSIVE $graphCtes, reach(v, m) AS (

@@ -117,7 +117,8 @@ object PageRank {
       tol: Double = 1e-6,
       maxIter: Int = 100,
       vertices: Option[DataFrame] = None,
-      freezeFactor: Double = 0.01): Result = {
+      freezeFactor: Double = 0.01,
+      checkpointer: Option[Checkpointer] = None): Result = {
     val sym = symCache(edges)
     val freezeTol = tol * freezeFactor
     // state: (vid, pr, deg, sent = last contribution actually sent,
@@ -133,7 +134,10 @@ object PageRank {
       .select(col("vid"), col("pr"), col("deg"),
         lit(0.0).as("sent"), lit(0.0).as("msum"),
         lit(true).as("active"), lit(true).as("conv"))
-    val res = IterativeRunner.loop(init, maxIter) { (state, _) =>
+    // frontier sizes observed per iteration (ONE action computes both the
+    // stop count and the frontier count); woven into the returned metrics
+    val frontierSizes = Vector.newBuilder[Long]
+    val res = IterativeRunner.loop(init, maxIter, checkpointer = checkpointer) { (state, _) =>
       // the active frontier publishes the CHANGE in its contribution
       // (iteration 1: everyone is active with sent=0 → full sums establish
       // msum, identically to the exact first superstep)
@@ -192,14 +196,8 @@ object PageRank {
       .select(col("vid"), coalesce(col("r0"), lit(0.0)).as("r0"),
         coalesce(col("r0"), lit(0.0)).as("pr"), col("deg"))
     val res = IterativeRunner.loop(init, iterations) { (state, _) =>
-      val msgs = sym
-        .join(state.select(col("vid").as("src"),
-            when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0)).as("contrib"))
-          .hint("shuffle_hash"), "src")
-        .groupBy(col("dst").as("vid"))
-        .agg(sum(col("contrib")).as("msum"))
       state
-        .join(msgs.hint("shuffle_hash"), Seq("vid"), "left")
+        .join(messageSums(sym, state).hint("shuffle_hash"), Seq("vid"), "left")
         .select(col("vid"), col("r0"),
           (lit(resetProb) * col("r0") +
             lit(1.0 - resetProb) * coalesce(col("msum"), lit(0.0))).as("pr"),
@@ -223,17 +221,22 @@ object PageRank {
     res.state.select("vid", "pr")
   }
 
-  /** One superstep. Joins are SHUFFLE_HASH by hint: the rank table must
-    * never be broadcast — a per-iteration driver collect+rebuild measured 2×
-    * slower locally and impossible at a billion vertices; with adj already
-    * hash-partitioned on src, only the vertex-sized side shuffles. */
-  private def step(sym: DataFrame, state: DataFrame, resetProb: Double, tol: Double): DataFrame = {
-    val msgs = sym
-      .join(state.select(col("vid").as("src"),
-          when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0)).as("contrib"))
-        .hint("shuffle_hash"), "src")
+  /** The one-exchange message aggregate every PageRank variant shares:
+    * adjacency ⋈ per-vertex contributions (SHUFFLE_HASH by hint — the
+    * vertex-sized side must never be broadcast: a per-iteration driver
+    * collect+rebuild measured 2× slower locally and impossible at a billion
+    * vertices; with adj already hash-partitioned on src, only the
+    * vertex-sized side shuffles) → partial+final sum per dst. */
+  private def messageSums(sym: DataFrame, state: DataFrame): DataFrame =
+    sym.join(state.select(col("vid").as("src"),
+        when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0)).as("contrib"))
+      .hint("shuffle_hash"), "src")
       .groupBy(col("dst").as("vid"))
       .agg(sum(col("contrib")).as("msum"))
+
+  /** One superstep of the exact recurrence. */
+  private def step(sym: DataFrame, state: DataFrame, resetProb: Double, tol: Double): DataFrame = {
+    val msgs = messageSums(sym, state)
     state
       .join(msgs.hint("shuffle_hash"), Seq("vid"), "left")
       .select(

@@ -48,12 +48,13 @@ class PageRankSpec extends SparkTestBase {
     // frozen vertices skip sub-tol updates; agreement is tolerance-order,
     // not bit-for-bit (runFrontier scaladoc)
     assert(maxDiff <= 5e-6, s"max |frontier-exact| = $maxDiff")
-    assert(frontier.metrics.last.activeCount == 0)
-    // the frontier must actually SHRINK before convergence (the point of the
-    // variant): some mid-loop iteration has fewer active than the first
-    val actives = frontier.metrics.map(_.activeCount)
-    assert(actives.exists(a => a > 0 && a < actives.head),
-      s"frontier never shrank: $actives")
+    // metrics.activeCount for runFrontier = FRONTIER size per iteration:
+    // the frontier must actually SHRINK well below the vertex count before
+    // convergence — freezing is the point of the variant (a broken freeze
+    // that keeps everyone active would fail this, not just run slower)
+    val sizes = frontier.metrics.map(_.activeCount)
+    assert(sizes.exists(a => a > 0 && a < sizes.head / 2),
+      s"frontier never shrank below half: $sizes")
     // and it must also match the driver-side power iteration within 5e-6
     val exp = oracle(tolStop = true, iters = 100)
     val vsOracle = exp.map { case (v, x) => math.abs(f(v) - x) }.max

@@ -1,8 +1,10 @@
 #!/bin/bash
 # The north-rule deployment path: the engine as a packaged jar under
 # spark-submit. On a real cluster swap --master local[8] for the cluster
-# master (yarn / k8s / spark://...) and size --num-executors; the engine
-# code is identical — it never reads the master.
+# master (yarn / k8s / spark://...) and size --num-executors; the mains
+# build their session via graft.core.Sessions.localBuilder, which DEFERS to
+# any spark-submit-injected master/conf (a hardcoded .master would silently
+# override --master and run local on the driver node).
 #   tools/spark_submit_demo.sh [main] [args...]
 # e.g. tools/spark_submit_demo.sh graft.Verify /root/testdata/sf0.001 /tmp/submit_verify
 set -euo pipefail
