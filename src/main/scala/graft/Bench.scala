@@ -90,6 +90,27 @@ object Bench {
 
   private def load1: Double = graft.core.HostLoad.load1
 
+  /** Bounded idle gate before the headline: wait (up to `maxWaitSec`) for two
+    * CONSECUTIVE 1-minute load samples below `threshold`, then run regardless
+    * and record what happened. Three straight driver rounds (r2/r3/r4) landed
+    * on co-tenant-loaded boxes (r4 load_1m up to 24 on 32 cpus), so the
+    * headline field alone never showed the engine's idle-band number; the
+    * gate buys an idle window when one exists within the budget, and the
+    * returned (waited_sec, passed) goes into the artifact so a gated-but-
+    * still-loaded run is distinguishable from an idle one.
+    * Opt-out: SPARK_GRAFT_IDLE_GATE_SEC=0. */
+  private def idleGate(maxWaitSec: Int, threshold: Double = 0.7): (Double, Boolean) = {
+    val t0 = System.nanoTime()
+    var below = if (load1 < threshold) 1 else 0
+    var waited = 0.0
+    while (below < 2 && waited < maxWaitSec) {
+      Thread.sleep(15000)
+      waited = (System.nanoTime() - t0) / 1e9
+      below = if (load1 < threshold) below + 1 else 0
+    }
+    ((System.nanoTime() - t0) / 1e9, below >= 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -108,6 +129,10 @@ object Bench {
     // number stays driver-reproducible.
     pagerankHeadline(spark, 50000, nTools = 100)
     spark.catalog.clearCache()
+    // bounded idle gate (after the warm-up so JIT is paid either way): wait
+    // up to 10 min for two consecutive sub-0.7 load samples, then proceed
+    val (gateWaited, gatePassed) =
+      idleGate(sys.env.getOrElse("SPARK_GRAFT_IDLE_GATE_SEC", "600").toInt)
     val loadPre = load1
     // Graph large enough that per-superstep compute dominates the
     // per-iteration serial floor (see BASELINE.md §c) — ~13.7M directed edges
@@ -149,19 +174,26 @@ object Bench {
       .mkString("[", ",", "]")
     val totalOk = results.collect { case r if r.ok => r.sec }.sum
     val failedSec = results.collect { case r if !r.ok => r.sec }.sum
+    // min-based headline: sym_edges / min_iter_sec — the steady-state number
+    // a loaded box cannot depress (co-tenant steal inflates loop_sec but some
+    // iteration almost always lands in a quiet slice; BASELINE.md §g idle
+    // band for min_iter_sec is 0.76-0.95 s on this graph). Reported BESIDE
+    // the loop-total headline, never replacing it.
+    val edgesPerSecPerIterMin = if (prMinIter > 0) prEdges.toDouble / prMinIter else 0.0
     val pr =
-      f"""{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"min_iter_sec":$prMinIter%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f}"""
+      f"""{"sym_edges":$prEdges,"iterations":$prIters,"loop_sec":$prSecs%.3f,"min_iter_sec":$prMinIter%.3f,"edges_per_sec_per_iter":$edgesPerSecPerIter%.0f,"edges_per_sec_per_iter_min":$edgesPerSecPerIterMin%.0f}"""
     // no edges/s/iter for the frontier loop: its iterations do NOT process
     // all sym_edges by design — the honest figure is the wall-clock ratio
     val prFrontier =
       f"""{"iterations":$frIters,"loop_sec":$frSecs%.3f,"min_iter_sec":$frMinIter%.3f,"speedup_vs_exact":${prSecs / frSecs}%.2f,"load_1m_post":$frLoad%.2f}"""
     val loads = f"""[$loadPre%.2f,$loadPost%.2f,$loadEnd%.2f]"""
+    val gate = f"""{"waited_sec":$gateWaited%.0f,"passed":$gatePassed}"""
     // fat diagnostics line first…
     println(
       f"""{"detail":"full","queries_meta":$meta,"sf":"$sfDir","headline_position":"first","cpus":$cpus}""")
     // …compact summary line LAST (bounded size: survives tail capture)
     println(
-      f"""{"metric":"total","value":$totalOk%.2f,"unit":"sec","queries":$qs,"failed":$failed,"failed_sec":$failedSec%.2f,"pagerank":$pr,"pagerank_frontier":$prFrontier,"load_1m":$loads,"sf":"$sfDir","cpus":$cpus}""")
+      f"""{"metric":"total","value":$totalOk%.2f,"unit":"sec","queries":$qs,"failed":$failed,"failed_sec":$failedSec%.2f,"pagerank":$pr,"pagerank_frontier":$prFrontier,"load_1m":$loads,"idle_gate":$gate,"sf":"$sfDir","cpus":$cpus}""")
     spark.stop()
   }
 }

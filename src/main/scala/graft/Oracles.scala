@@ -365,6 +365,26 @@ object Oracles {
          FROM edges e
        ) x WHERE rnk <= 2 ORDER BY src, rnk"""
 
+  /** Per-neighbor-type samplers (NeighTN / NeighTNW parity): the same
+    * deterministic draw / A-Res key, ranked within (src, dst-kind). */
+  val qSampleTyped: String =
+    s"""WITH $graphCtes
+       SELECT src, kind, rnk, dst FROM (
+         SELECT e.src, v.kind, e.dst,
+                CAST(ROW_NUMBER() OVER (PARTITION BY e.src, v.kind
+                  ORDER BY $detU ASC, e.dst ASC) AS INTEGER) AS rnk
+         FROM edges e JOIN vertices v ON v.vid = e.dst
+       ) x WHERE rnk <= 2 ORDER BY src, kind, rnk"""
+
+  val qSampleTypedWeighted: String =
+    s"""WITH $graphCtes
+       SELECT src, kind, rnk, dst FROM (
+         SELECT e.src, v.kind, e.dst,
+                CAST(ROW_NUMBER() OVER (PARTITION BY e.src, v.kind
+                  ORDER BY power($detU, CAST(1.0 AS DOUBLE) / e.weight) DESC, e.dst ASC) AS INTEGER) AS rnk
+         FROM edges e JOIN vertices v ON v.vid = e.dst
+       ) x WHERE rnk <= 2 ORDER BY src, kind, rnk"""
+
   // ---- random walks (portable positional draws — full replay) ----
 
   /** SQL rendering of [[graft.algo.RandomWalks.mix]]: per-(walk, step, salt)

@@ -210,6 +210,18 @@ object SparkEntry {
     "q_sample_weighted" -> ((s, d) =>
       graft.functions.Samplers.weightedK(graph(s, d).edges, 2).orderBy("src", "rnk")),
 
+    "q_sample_typed" -> ((s, d) => { // NeighTN: k per (src, neighbor kind)
+      val g = graph(s, d)
+      graft.functions.Samplers.uniformKTyped(g.edges, g.vertices, 2)
+        .orderBy("src", "kind", "rnk")
+    }),
+
+    "q_sample_typed_weighted" -> ((s, d) => { // NeighTNW: A-Res per (src, kind)
+      val g = graph(s, d)
+      graft.functions.Samplers.weightedKTyped(g.edges, g.vertices, 2)
+        .orderBy("src", "kind", "rnk")
+    }),
+
     // ---- random walks (portable positional draws → full oracle replay) ----
 
     "q_deepwalk" -> ((s, d) =>
@@ -363,6 +375,8 @@ object SparkEntry {
     "q_graph_stats" -> Oracles.qGraphStats,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
+    "q_sample_typed" -> Oracles.qSampleTyped,
+    "q_sample_typed_weighted" -> Oracles.qSampleTypedWeighted,
     "q_deepwalk" -> Oracles.qDeepwalk,
     "q_node2vec" -> Oracles.qNode2vec,
     "q_metapath" -> Oracles.qMetapath,

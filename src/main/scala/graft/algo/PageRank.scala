@@ -35,7 +35,14 @@ import graft.derive.LinkGraph
   */
 object PageRank {
 
-  final case class Result(ranks: DataFrame, iterations: Int, metrics: Vector[IterMetrics])
+  /** @param frontierSizes per-iteration ACTIVE-frontier sizes (change ≥
+    *   tol·freezeFactor) — populated by [[runFrontier]] only; the stop
+    *   criterion (change ≥ tol) lands in `metrics.activeCount` as usual. */
+  final case class Result(
+      ranks: DataFrame,
+      iterations: Int,
+      metrics: Vector[IterMetrics],
+      frontierSizes: Vector[Long] = Vector.empty)
 
   /** Symmetrized edge pairs, iteration-cached: derivation lineage truncated
     * to a DISK_ONLY leaf (a big logical plan under the cache would otherwise
@@ -118,7 +125,8 @@ object PageRank {
       maxIter: Int = 100,
       vertices: Option[DataFrame] = None,
       freezeFactor: Double = 0.01,
-      checkpointer: Option[Checkpointer] = None): Result = {
+      checkpointer: Option[Checkpointer] = None,
+      broadcastTail: Option[Long] = None): Result = {
     val sym = symCache(edges)
     val freezeTol = tol * freezeFactor
     // state: (vid, pr, deg, sent = last contribution actually sent,
@@ -134,18 +142,31 @@ object PageRank {
       .select(col("vid"), col("pr"), col("deg"),
         lit(0.0).as("sent"), lit(0.0).as("msum"),
         lit(true).as("active"), lit(true).as("conv"))
-    // frontier sizes observed per iteration (ONE action computes both the
-    // stop count and the frontier count); woven into the returned metrics
+    // per-iteration frontier sizes, observed by the SAME action that
+    // computes the stop count (no extra job) and returned in
+    // Result.frontierSizes; `metrics.activeCount` records the stop
+    // criterion's conv count (change ≥ tol), a strict subset of the frontier
     val frontierSizes = Vector.newBuilder[Long]
+    // last observed frontier size, for the broadcast-tail switch (below)
+    var lastFrontier = Long.MaxValue
     val res = IterativeRunner.loop(init, maxIter, checkpointer = checkpointer) { (state, _) =>
       // the active frontier publishes the CHANGE in its contribution
       // (iteration 1: everyone is active with sent=0 → full sums establish
       // msum, identically to the exact first superstep)
-      val frontier = state.where(col("active"))
+      val frontierDf = state.where(col("active"))
         .select(col("vid").as("src"),
           (when(col("deg") > 0, col("pr") / col("deg")).otherwise(lit(0.0))
             - col("sent")).as("dc"))
-      val dmsgs = sym.join(frontier.hint("shuffle_hash"), "src")
+      // broadcast-tail switch (cluster-shape lever): once the frontier has
+      // shrunk below `broadcastTail`, ship it to every task instead of
+      // shuffling the edge side's join keys — on a cluster this removes the
+      // per-iteration exchange entirely for the long convergence tail.
+      // Local[32] A/B numbers in BASELINE.md §h. Default off: the exact
+      // shuffle-hash shape stays the measured/oracled path.
+      val frontierSide =
+        if (broadcastTail.exists(lastFrontier <= _)) broadcast(frontierDf)
+        else frontierDf.hint("shuffle_hash")
+      val dmsgs = sym.join(frontierSide, "src")
         .groupBy(col("dst").as("vid"))
         .agg(sum(col("dc")).as("dsum"))
       state
@@ -167,9 +188,19 @@ object PageRank {
             .as("active"),
           (abs(lit(1.0 - resetProb) * (col("msum") - col("pr"))) >= lit(tol))
             .as("conv"))
-    } { next => next.where(col("conv")).count() }
+    } { next =>
+      // ONE action for both counts: conv (stop criterion — what
+      // metrics.activeCount records) and active (frontier size)
+      val r = next.agg(
+        count(when(col("conv"), lit(1))).as("conv"),
+        count(when(col("active"), lit(1))).as("act")).head()
+      lastFrontier = r.getLong(1)
+      frontierSizes += lastFrontier
+      r.getLong(0)
+    }
     sym.unpersist(false)
-    Result(res.state.select("vid", "pr"), res.iterations, res.metrics)
+    Result(res.state.select("vid", "pr"), res.iterations, res.metrics,
+      frontierSizes.result())
   }
 
   /** Personalized PageRank / random-walk-with-restart, fixed iterations

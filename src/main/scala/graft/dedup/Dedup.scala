@@ -171,19 +171,44 @@ object Dedup {
     * oracle — the graph CC operators remain the general tool). One round
     * advances each vertex's minimum one hop, so `rounds` bounds the covered
     * component diameter; near-dup components are chain-like and tiny, and 8
-    * is generous. Scale shape per round: one edge⋈state shuffle-hash join +
-    * one partial-agg min — the PageRank superstep shape over a pair graph
-    * that is orders of magnitude smaller than the corpus. */
+    * is generous — but NOT unbounded, so the flow carries its own guard: one
+    * extra probe round counts docs whose canonical would still change
+    * (`unconverged` in [[propagateCanonical]]); a non-zero count is reported
+    * loudly instead of silently shipping a split clustering, and
+    * `escalateUnconverged = true` keeps propagating to fixpoint (correct
+    * result, oracle-replayable only when the guard never fired). Scale shape
+    * per round: one edge⋈state shuffle-hash join + one partial-agg min — the
+    * PageRank superstep shape over a pair graph that is orders of magnitude
+    * smaller than the corpus. */
   def clusters(
       docs: DataFrame,
       n: Int = 3,
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      rounds: Int = 8): DataFrame = {
+      rounds: Int = 8,
+      escalateUnconverged: Boolean = false): DataFrame = {
     // leaf: both union branches reference pairs — without it each branch
     // re-runs the whole LSH candidate + exact-verify subplan
     val pairs = minhashLsh(docs, n, numHashes, bands, minJaccard).localCheckpoint(false)
+    propagateCanonical(pairs, docs, rounds, escalateUnconverged)._1
+  }
+
+  /** Min-canonical propagation over an explicit verified pair list — the
+    * clustering tail of [[clusters]], separated so the diameter guard is
+    * testable on a planted pair graph. Returns (assignment, unconverged):
+    * `unconverged` is the number of docs whose canonical id would STILL
+    * change given one more round — 0 iff `rounds` covered every component's
+    * diameter. Non-zero means the clustering is NOT transitively closed
+    * (split canonical ids); it is printed to stderr, and with `escalate`
+    * propagation continues in `rounds`-sized chunks until the fixpoint
+    * (each chunk re-probes — convergence-driven, so no longer replayable by
+    * a fixed-round oracle; the default flow keeps fixed rounds + guard). */
+  def propagateCanonical(
+      pairs: DataFrame,
+      docs: DataFrame,
+      rounds: Int = 8,
+      escalate: Boolean = false): (DataFrame, Long) = {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false) // referenced every round
@@ -194,18 +219,36 @@ object Dedup {
     var state = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canonical"))
       .localCheckpoint(false)
-    for (_ <- 1 to rounds) {
-      val msgs = sym
-        .join(state.select(col("doc_id").as("src"), col("canonical").as("c"))
-          .hint("shuffle_hash"), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min(col("c")).as("mc"))
-      state = state.join(msgs.hint("shuffle_hash"), Seq("doc_id"), "left")
+    def msgs(st: DataFrame): DataFrame = sym
+      .join(st.select(col("doc_id").as("src"), col("canonical").as("c"))
+        .hint("shuffle_hash"), "src")
+      .groupBy(col("dst").as("doc_id")).agg(min(col("c")).as("mc"))
+    def oneRound(st: DataFrame): DataFrame =
+      st.join(msgs(st).hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("canonical"), coalesce(col("mc"), col("canonical"))).as("canonical"))
         .localCheckpoint(false) // plan truncation per round
+    // probe: docs whose canonical would still drop given one more round —
+    // one cheap action over the (tiny) pair-involved state
+    def probe(st: DataFrame): Long =
+      st.join(msgs(st).hint("shuffle_hash"), Seq("doc_id"), "left")
+        .where(col("mc") < col("canonical")).count()
+    for (_ <- 1 to rounds) state = oneRound(state)
+    // the guard count: what the FIXED round budget left uncovered
+    val unconverged = probe(state)
+    if (unconverged > 0) {
+      System.err.println(s"[dedup.clusters] WARNING: $unconverged docs unconverged " +
+        s"after $rounds rounds (pair-graph component diameter exceeds rounds); " +
+        (if (escalate) "escalating to fixpoint" else "canonical ids are SPLIT"))
+      var remaining = unconverged
+      while (escalate && remaining > 0) {
+        for (_ <- 1 to rounds) state = oneRound(state)
+        remaining = probe(state)
+      }
     }
-    docs.select(col("doc_id")).join(state.hint("shuffle_hash"), Seq("doc_id"), "left")
+    val out = docs.select(col("doc_id")).join(state.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
+    (out, unconverged)
   }
 
   /** 60-bit SimHash signature per doc, token-weighted (each occurrence votes

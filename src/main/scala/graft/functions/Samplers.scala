@@ -38,4 +38,34 @@ object Samplers {
     edges.withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
       .select("src", "rnk", "dst")
   }
+
+  /** Neighbor-kind column for the typed samplers: dst's `kind` joined from
+    * the vertex table (broadcast-eligible dictionary side at scale — the
+    * edge side keeps its partitioning). */
+  private def withDstKind(edges: DataFrame, vertices: DataFrame): DataFrame =
+    edges.join(vertices.select(col("vid").as("dst"), col("kind")), "dst")
+
+  /** PER-NEIGHBOR-TYPE uniform k-sample (the reference's `NeighTN` typed
+    * neighbor tables, `GC/core/data/NeighTN.scala:10-45`: k neighbors kept
+    * per (vertex, neighbor type), not k overall): composite (src, dst-kind)
+    * ranking window over the same deterministic uniform as [[uniformK]].
+    * Output (src, kind, rnk, dst), rnk ∈ [1, k] within each (src, kind). */
+  def uniformKTyped(edges: DataFrame, vertices: DataFrame, k: Int, seed: Long = 7L): DataFrame = {
+    val w = Window.partitionBy("src", "kind")
+      .orderBy(detUniform(col("src"), col("dst"), seed).asc, col("dst").asc)
+    withDstKind(edges, vertices)
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("src", "kind", "rnk", "dst")
+  }
+
+  /** PER-NEIGHBOR-TYPE weighted k-sample (`NeighTNW.scala:10-40`): A-Res key
+    * within each (src, dst-kind) group — [[weightedK]]'s arithmetic over the
+    * composite key. */
+  def weightedKTyped(edges: DataFrame, vertices: DataFrame, k: Int, seed: Long = 7L): DataFrame = {
+    val key = pow(detUniform(col("src"), col("dst"), seed), lit(1.0) / col("weight"))
+    val w = Window.partitionBy("src", "kind").orderBy(key.desc, col("dst").asc)
+    withDstKind(edges, vertices)
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select("src", "kind", "rnk", "dst")
+  }
 }

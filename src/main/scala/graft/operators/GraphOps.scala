@@ -96,6 +96,45 @@ object GraphOps {
       .join(vertices.select(col("vid").as("dst"), col("key").as("dst_key")), "dst")
       .select("src", "dst", "weight", "src_key", "dst_key")
 
+  /** The reference's `EdgeActiveness` gate (`GA/framework/EdgePartition.scala:
+    * 413-419`): which endpoint(s) must be in the active set for an edge to
+    * fire during [[aggregateMessages]]. */
+  sealed trait EdgeActiveness
+  object EdgeActiveness {
+    /** edge fires iff src is active */
+    case object SrcOnly extends EdgeActiveness
+    /** edge fires iff dst is active */
+    case object DstOnly extends EdgeActiveness
+    /** edge fires iff src OR dst is active */
+    case object Either extends EdgeActiveness
+    /** edge fires iff src AND dst are active */
+    case object Both extends EdgeActiveness
+  }
+
+  /** Edge gating by active set: the frontier semi-join the specialized algos
+    * (CC min-prop, frontier PageRank) already use, generalized to the four
+    * reference directions. Semi/anti joins keep multi-edge duplicates intact
+    * (no distinct), and `Either` decomposes as src-active ∪ (src-inactive ∧
+    * dst-active) so no edge is counted twice. The active side is
+    * frontier-sized — shuffle-hash hinted, never sort-merge on the edge
+    * side. */
+  private def gateEdges(edges: DataFrame, active: DataFrame, dir: EdgeActiveness): DataFrame = {
+    val aSrc = active.select(col("vid").as("src")).hint("shuffle_hash")
+    val aDst = active.select(col("vid").as("dst")).hint("shuffle_hash")
+    dir match {
+      case EdgeActiveness.SrcOnly => edges.join(aSrc, Seq("src"), "left_semi")
+      case EdgeActiveness.DstOnly => edges.join(aDst, Seq("dst"), "left_semi")
+      case EdgeActiveness.Both =>
+        edges.join(aSrc, Seq("src"), "left_semi").join(aDst, Seq("dst"), "left_semi")
+      case EdgeActiveness.Either =>
+        // unionByName: a USING-column semi/anti join may move its key to the
+        // front, and a positional union would silently swap src/dst
+        edges.join(aSrc, Seq("src"), "left_semi")
+          .unionByName(
+            edges.join(aSrc, Seq("src"), "left_anti").join(aDst, Seq("dst"), "left_semi"))
+    }
+  }
+
   /** `Graph.aggregateMessages[M]` (`Graph.scala:491-516`,
     * `EdgePartition.scala:374-480`) — THE core reference op, generically:
     * join vertex state onto each edge endpoint, evaluate message expressions
@@ -106,26 +145,37 @@ object GraphOps {
     * @param msgToDst expression over edge + `src_`-prefixed src attrs, or null
     * @param msgToSrc expression over edge + `dst_`-prefixed dst attrs, or null
     * @param merge    aggregate over column `msg`, e.g. sum(col("msg"))
+    * @param activeSet  optional frontier (vid); only edges passing the
+    *                   `activeness` gate fire. None = every edge (identical
+    *                   to an all-vertex frontier). Vertices receiving no
+    *                   message are absent from the result, exactly like the
+    *                   ungated form.
+    * @param activeness which endpoint(s) must be active (reference
+    *                   `EdgeActiveness`); default `Either` matches the
+    *                   reference's Pregel default.
     */
   def aggregateMessages(
       edges: DataFrame,
       state: DataFrame,
       msgToDst: Option[Column],
       msgToSrc: Option[Column],
-      merge: Column): DataFrame = {
+      merge: Column,
+      activeSet: Option[DataFrame] = None,
+      activeness: EdgeActiveness = EdgeActiveness.Either): DataFrame = {
     require(msgToDst.nonEmpty || msgToSrc.nonEmpty,
       "aggregateMessages: at least one message direction required")
+    val gated = activeSet.map(gateEdges(edges, _, activeness)).getOrElse(edges)
     val srcState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"src_$c"))
     val dstState = state.columns.foldLeft(state)((d, c) => d.withColumnRenamed(c, s"dst_$c"))
     // shuffle-hash by hint, same rationale as PageRank.step: the state side
     // is vertex-sized (never broadcast it blindly), and a sort-merge join
     // would sort the EDGE side — pure waste at 10^12 edges
     val toDst = msgToDst.map { m =>
-      edges.join(srcState.hint("shuffle_hash"), col("src") === col("src_vid"))
+      gated.join(srcState.hint("shuffle_hash"), col("src") === col("src_vid"))
         .select(col("dst").as("vid"), m.as("msg"))
     }
     val toSrc = msgToSrc.map { m =>
-      edges.join(dstState.hint("shuffle_hash"), col("dst") === col("dst_vid"))
+      gated.join(dstState.hint("shuffle_hash"), col("dst") === col("dst_vid"))
         .select(col("src").as("vid"), m.as("msg"))
     }
     (toDst.toSeq ++ toSrc.toSeq).reduce(_ union _)

@@ -276,26 +276,73 @@ object Similarity {
     * Arithmetic envelope: distances accumulate in Long — exact (and
     * identical to the declarative form) while dim·max(xq−cq)² < 2⁶³, i.e.
     * per-coordinate |x| up to ~6·10⁴ at quant=1e6 and dim=1024; unit-norm
-    * embeddings sit ~10⁸ below the bound. Outside it the ANSI declarative
-    * form throws while this kernel would wrap — so the bound is the
-    * documented contract, not a silent divergence surface. */
-  private def kernelProbeRanks(qv: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    * embeddings sit ~10⁸ below the bound. The envelope is ENFORCED: a cheap
+    * per-row precheck (max|xq| + the partition-constant max|cq|, squared and
+    * scaled by dim, checked against 2⁶³ with exact arithmetic) throws
+    * ArithmeticException outside it — loud like the ANSI declarative form,
+    * never a silent wraparound. The precheck bound is conservative (it
+    * assumes every coordinate hits the worst-case difference), which is the
+    * right direction for a guard. */
+  private def kernelProbeRanks(qv: DataFrame, cent: DataFrame, nprobe: Int): DataFrame =
+    kernelProbeRanksBc(qv,
+      qv.sparkSession.sparkContext.broadcast(collectCentroids(cent)), nprobe)
+
+  /** Driver-side centroid materialization for the kernel path: collected
+    * through a compact tuple encoder straight into primitive arrays —
+    * transient driver heap is an (Int,Int,Long) tuple array (~40 B/row,
+    * ~300 MB at the documented 10⁹ sizing of 31k×256 rows), not generic Row
+    * objects (multi-GB); the retained footprint is the ~64 MB of centroid
+    * longs plus its broadcast copy. (A `toLocalIterator` variant would be
+    * O(partition) transient but floods the driver log with GC'd-accumulator
+    * warnings from its per-partition jobs — measured, not worth it at this
+    * bounded size.) */
+  private def collectCentroids(cent: DataFrame): Array[(Int, Array[Long])] = {
+    val spark = cent.sparkSession
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val rows = cent.as[(Int, Int, Long)].collect()
+    var dim = 0
+    rows.foreach { case (_, i0, _) => if (i0 + 1 > dim) dim = i0 + 1 }
+    val map = new java.util.HashMap[Int, Array[Long]]()
+    rows.foreach { case (cid, i0, cq) =>
+      map.computeIfAbsent(cid, _ => new Array[Long](dim))(i0) = cq
+    }
+    map.entrySet().asScala.toArray
+      .map(e => (e.getKey.intValue, e.getValue)).sortBy(_._1)
+  }
+
+  private def kernelProbeRanksBc(
+      qv: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Array[(Int, Array[Long])]],
+      nprobe: Int): DataFrame = {
     val spark = qv.sparkSession
     import spark.implicits._
-    // bounded collect: nlist×dim centroid rows (cid, i0, cq)
-    val byCid: Array[(Int, Array[Long])] = cent.collect()
-      .groupBy(_.getInt(0)).toArray.sortBy(_._1)
-      .map { case (cid, rows) =>
-        val arr = new Array[Long](rows.length)
-        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
-        (cid, arr)
-      }
-    val bc = spark.sparkContext.broadcast(byCid)
     qv.as[(Long, Array[Long])].mapPartitions { it =>
       val cents = bc.value
       val nl = cents.length
       val np = math.min(nprobe, nl)
+      // partition-constant: worst-case |cq| for the overflow precheck
+      var maxAbsC = 0L
+      var c0 = 0
+      while (c0 < nl) {
+        val cv = cents(c0)._2; var i = 0
+        while (i < cv.length) { val a = math.abs(cv(i)); if (a > maxAbsC) maxAbsC = a; i += 1 }
+        c0 += 1
+      }
       it.flatMap { case (vid, xq) =>
+        // overflow guard (O(dim), vs the O(dim·nlist) distance work): the
+        // worst-case accumulated distance dim·(max|xq|+max|cq|)² must fit a
+        // Long, else fail loudly like the ANSI declarative form would
+        var maxAbsX = 0L
+        var i0 = 0
+        while (i0 < xq.length) { val a = math.abs(xq(i0)); if (a > maxAbsX) maxAbsX = a; i0 += 1 }
+        val worst = Math.addExact(maxAbsX, maxAbsC)
+        if (worst > 3037000499L || // sqrt(2^63): worst² itself would overflow
+            (worst > 0 && worst * worst > Long.MaxValue / math.max(1, xq.length)))
+          throw new ArithmeticException(
+            s"kernelProbeRanks: quantized coordinates too large for exact Long " +
+            s"distances (max|xq|=$maxAbsX, max|cq|=$maxAbsC, dim=${xq.length}); " +
+            "lower `quant` — see the arithmetic envelope in the scaladoc")
         val bestD = Array.fill(np)(Long.MaxValue)
         val bestC = new Array[Int](np)
         var c = 0
@@ -399,6 +446,14 @@ object Similarity {
     // kernel path input: same quantization as `ex`, vector-per-row
     val qv = if (!kernelAssign) None else Some(quantVectors(embeddings, quant))
     var cent = initCentroids(embeddings, ex, nlist)
+    // Kernel-path broadcast lifecycle: a fresh centroid broadcast per
+    // assignment call, reclaimed by the ContextCleaner — the superseded
+    // round's Broadcast object becomes unreachable as soon as the Lloyd loop
+    // reassigns `cent` past the localCheckpoint that consumed it (checkpoint
+    // materialization truncates the lineage holding the mapPartitions
+    // closure). An EXPLICIT bc.destroy() here was measured to flood the
+    // driver log with GC'd-accumulator DAGScheduler errors in long sessions;
+    // reference-dropping is the idiomatic (and quiet) cleanup path.
     // argmin cell per vector: declarative min-struct, or the mapPartitions
     // kernel (identical exact-integer (d, cid) order)
     def assign(c: DataFrame): DataFrame = qv match {

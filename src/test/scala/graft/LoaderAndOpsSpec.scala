@@ -60,6 +60,56 @@ class GraphOpsExtraSpec extends SparkTestBase {
     assert(got == expected)
   }
 
+  test("aggregateMessages activeness gate: full frontier == ungated; each direction == manual filter") {
+    import GraphOps.EdgeActiveness
+    val g = GraphFixture.graph
+    val state = g.vertices.select(col("vid"), (pmod(col("vid"), lit(7L)) + 1L).as("w"))
+    def run(active: Option[org.apache.spark.sql.DataFrame], dir: GraphOps.EdgeActiveness) =
+      GraphOps.aggregateMessages(g.edges, state,
+        msgToDst = Some(col("src_w") * col("weight")), msgToSrc = Some(col("dst_w")),
+        merge = sum(col("msg")), activeSet = active, activeness = dir)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ungated = run(None, EdgeActiveness.Either)
+    val allVids = g.vertices.select("vid")
+    // an all-vertex frontier must be a no-op for every direction
+    for (dir <- Seq(EdgeActiveness.SrcOnly, EdgeActiveness.DstOnly,
+        EdgeActiveness.Either, EdgeActiveness.Both))
+      assert(run(Some(allVids), dir) == ungated, s"full-frontier $dir != ungated")
+    // subset frontier: each direction reproduces a driver-side manual filter
+    val frontier = g.vertices.where(pmod(col("vid"), lit(3L)) === 0).select("vid")
+    val fset = frontier.collect().map(_.getLong(0)).toSet
+    assert(fset.nonEmpty && fset.size < g.vertices.count())
+    val edges = g.edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wmap = state.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def manual(pred: (Long, Long) => Boolean): Map[Long, Long] =
+      edges.filter { case (s, d, _) => pred(s, d) }
+        .flatMap { case (s, d, w) => Seq(d -> wmap(s) * w, s -> wmap(d)) }
+        .groupBy(_._1).map { case (v, ms) => v -> ms.map(_._2).sum }
+    assert(run(Some(frontier), EdgeActiveness.SrcOnly) == manual((s, _) => fset(s)))
+    assert(run(Some(frontier), EdgeActiveness.DstOnly) == manual((_, d) => fset(d)))
+    assert(run(Some(frontier), EdgeActiveness.Either) == manual((s, d) => fset(s) || fset(d)))
+    assert(run(Some(frontier), EdgeActiveness.Both) == manual((s, d) => fset(s) && fset(d)))
+  }
+
+  test("typed samplers: ranked k per (src, kind); large k keeps every typed edge") {
+    import graft.functions.Samplers
+    val g = GraphFixture.graph
+    // k beyond any degree: every directed edge survives (one dst-kind each)
+    assert(Samplers.uniformKTyped(g.edges, g.vertices, 100000).count() == g.edges.count())
+    for (df <- Seq(Samplers.uniformKTyped(g.edges, g.vertices, 2),
+        Samplers.weightedKTyped(g.edges, g.vertices, 2))) {
+      val rows = df.collect()
+      val grouped = rows.groupBy(r => (r.getLong(0), r.getString(1)))
+      grouped.values.foreach { rs =>
+        assert(rs.length <= 2)
+        assert(rs.map(_.getInt(2)).sorted.sameElements(1 to rs.length)) // rnk dense from 1
+      }
+      // sampled rows are real typed edges
+      val edgeSet = g.edges.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      rows.foreach(r => assert(edgeSet((r.getLong(0), r.getLong(3)))))
+    }
+  }
+
   test("typedAdjacency splits neighbor lists by vertex kind") {
     val g = GraphFixture.graph
     val rows = GraphOps.typedAdjacency(g.edges, g.vertices).collect()

@@ -88,6 +88,28 @@ class DedupSpec extends SparkTestBase {
     assert(got.size == all.count())
   }
 
+  test("clusters diameter guard: a diameter-9 chain trips it; escalation reaches fixpoint") {
+    // planted pair graph: a 10-doc path 0-1-2-...-9 with ids ascending along
+    // it, so the minimum (0) needs 9 rounds to reach doc 9 — the worst case
+    // the default rounds=8 budget does NOT cover
+    val pathPairs = (0L until 9L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val ids = (0L until 10L).toDF("doc_id")
+    val (split, unconv) = Dedup.propagateCanonical(pathPairs, ids, rounds = 8)
+    assert(unconv > 0, "diameter-9 chain must trip the guard at rounds=8")
+    // the silent failure mode the guard exposes: doc 9's canonical is SPLIT
+    val splitMap = split.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(splitMap(9L) != 0L && splitMap(8L) == 0L)
+    // one more round of budget covers it — guard goes quiet
+    val (_, conv9) = Dedup.propagateCanonical(pathPairs, ids, rounds = 9)
+    assert(conv9 == 0L)
+    // escalation reports the trip AND still produces the transitive closure
+    val (fixed, unconvEsc) = Dedup.propagateCanonical(pathPairs, ids, rounds = 8,
+      escalate = true)
+    assert(unconvEsc > 0)
+    val fixedMap = fixed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 10L).forall(fixedMap(_) == 0L), s"escalation must converge: $fixedMap")
+  }
+
   test("ngramJaccard df-cap: exact output for large tau, bounded candidates on hot shingles") {
     // a generous cap must not change the result (scores are verified exactly
     // either way; only candidate generation is pruned)
