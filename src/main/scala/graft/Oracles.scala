@@ -96,6 +96,47 @@ object Oracles {
         $r0, $iters"""
   }
 
+  /** Frontier (delta) PageRank chain — replays
+    * [[graft.algo.PageRank.runFrontier]] exactly for k iterations, including
+    * the per-vertex freeze/reactivate schedule: state (pr, deg, sent, msum,
+    * active); the active frontier publishes contribution DELTAS
+    * (pr/deg − sent), msum accumulates them, a vertex is active iff
+    * |(1−p)·(msum_new − pr_old)| ≥ freezeTol. Same doubles per term as the
+    * engine (literals cast to DOUBLE; the sum order caveat is the same one
+    * every chain oracle carries). `freezeTol` is stringified from the
+    * engine's own Double so the threshold constant cannot fork. */
+  def frontierChain(k: Int, freezeTol: Double): String = {
+    val ft = s"CAST($freezeTol AS DOUBLE)"
+    val iters = (1 to k).map { i =>
+      s"""fm$i AS MATERIALIZED (
+        SELECT s.dst AS vid, SUM(c.dc) AS dsum
+        FROM sym s JOIN (
+          SELECT vid, (CASE WHEN deg > 0 THEN pr / deg ELSE CAST(0 AS DOUBLE) END) - sent AS dc
+          FROM f${i - 1} WHERE active
+        ) c ON c.vid = s.src
+        GROUP BY s.dst
+      ), f$i AS MATERIALIZED (
+        SELECT r.vid,
+               CASE WHEN r.active
+                 THEN CAST(0.15 AS DOUBLE) * r.pr + CAST(0.85 AS DOUBLE) * (r.msum + COALESCE(m.dsum, CAST(0 AS DOUBLE)))
+                 ELSE r.pr END AS pr,
+               r.deg,
+               CASE WHEN r.active
+                 THEN (CASE WHEN r.deg > 0 THEN r.pr / r.deg ELSE CAST(0 AS DOUBLE) END)
+                 ELSE r.sent END AS sent,
+               r.msum + COALESCE(m.dsum, CAST(0 AS DOUBLE)) AS msum,
+               ABS(CAST(0.85 AS DOUBLE) * ((r.msum + COALESCE(m.dsum, CAST(0 AS DOUBLE))) - r.pr)) >= $ft AS active
+        FROM f${i - 1} r LEFT JOIN fm$i m ON m.vid = r.vid
+      )"""
+    }.mkString(", ")
+    s"""deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS d FROM sym GROUP BY src),
+        f0 AS MATERIALIZED (
+          SELECT v.vid, CAST(1.0 AS DOUBLE) AS pr, d.d AS deg,
+                 CAST(0.0 AS DOUBLE) AS sent, CAST(0.0 AS DOUBLE) AS msum, TRUE AS active
+          FROM vertices v JOIN deg d ON d.src = v.vid),
+        $iters"""
+  }
+
   /** LPA chain: k supersteps, argmax neighbor label, tie → min label. */
   def lpaChain(k: Int): String = {
     val iters = (1 to k).map { i =>

@@ -78,6 +78,12 @@ object SparkEntry {
       r.ranks.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
     }),
 
+    "q_pagerank_frontier" -> ((s, d) => { // delta/frontier variant, full replay
+      val r = PageRank.runFrontier(graph(s, d).edges, tol = 1e-6, maxIter = 100)
+      frontierIterations.put(d, r.iterations) // reused by dynamicOracleSql
+      r.ranks.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
+    }),
+
     "q_ppr" -> ((s, d) => { // personalized PageRank / random-walk-with-restart
       val g = graph(s, d)
       val sources = g.vertices
@@ -407,6 +413,11 @@ object SparkEntry {
     * length matches the dumped ranks exactly). */
   private val convIterations = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Same pattern for the frontier variant's data-dependent iteration count
+    * (its freeze/reactivate schedule is deterministic, so the oracle replays
+    * the whole loop once the length is known). */
+  private val frontierIterations = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Oracles that depend on engine state at the driver's scale factor:
     * q_pagerank_conv's oracle is the exact n-step DuckDB recurrence chain
     * for the converged iteration count n. Verify merges this over
@@ -419,8 +430,15 @@ object SparkEntry {
     // never executed (e.g. it crashed upstream in Verify).
     val n = convIterations.computeIfAbsent(sfDir,
       _ => PageRank.run(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100).iterations).intValue
-    Map("q_pagerank_conv" ->
-      s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
-         SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""")
+    val nf = frontierIterations.computeIfAbsent(sfDir,
+      _ => PageRank.runFrontier(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100)
+        .iterations).intValue
+    Map(
+      "q_pagerank_conv" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
+           SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""",
+      "q_pagerank_frontier" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.frontierChain(nf, freezeTol = 1e-6 * 0.01)}
+           SELECT vid, ROUND(pr, 6) AS pr FROM f$nf ORDER BY vid""")
   }
 }

@@ -334,4 +334,65 @@ class StreamingSpec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(edges == expPlus)
   }
+
+  test("edgeMergeSink restart from checkpoint: no duplicate deltas, view equals batch derivation") {
+    import graft.streaming.TranscriptStream
+    import graft.sources.ParquetDirTableIO
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-rs").toString
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-rsio").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-rsck").toString
+    val t = GraphFixture.transcripts.cache()
+    val sliceA = t.where(col("turn_idx") % 2 === 0)
+    // sliceB re-ships 30 of sliceA's turns: the watermarked dedup state must
+    // survive the restart (it is checkpoint state) to drop them
+    val sliceB = t.where(col("turn_idx") % 2 === 1).unionByName(sliceA.limit(30))
+    val io = new ParquetDirTableIO(root)
+    // watermark must cover the fixture's 60-minute ts span: on restart the
+    // checkpointed watermark (max seen ts − delay) is ENFORCED on the next
+    // batch, so a 10-minute delay would drop most of sliceB as late data —
+    // that is Spark's documented watermark semantics (late data beyond the
+    // delay is droppable), not a property of the sink under test here
+    def startQuery() = TranscriptStream.edgeMergeSink(
+      spark.readStream.schema(TranscriptStream.transcriptSchema)
+        .option("maxFilesPerTrigger", "1").parquet(dir),
+      io, "edges", ckpt, watermark = "2 hours")
+
+    // run 1: process sliceA, then the query is STOPPED (killed between
+    // micro-batches)
+    sliceA.coalesce(1).write.mode("append").parquet(dir)
+    val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+    val afterA = io.snapshots("edges")
+    assert(afterA.nonEmpty, "run 1 must commit at least one delta")
+
+    // new data lands while the query is down; run 2 restarts from the SAME
+    // checkpoint dir — it must pick up where run 1 left off
+    sliceB.coalesce(1).write.mode("append").parquet(dir)
+    val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+    val afterB = io.snapshots("edges")
+    // the restart must not have re-committed run 1's batches: run 1's
+    // snapshots survive verbatim and every new one has a later batch id
+    assert(afterA.toSet.subsetOf(afterB.toSet), s"restart rewrote deltas: $afterA vs $afterB")
+    assert(afterB.size > afterA.size, s"restart committed no new delta: $afterA vs $afterB")
+    assert((afterB.toSet -- afterA.toSet).forall(_ > afterA.max),
+      s"restart reused batch ids: $afterA vs $afterB")
+
+    val exp = t.dropDuplicates("conv_id", "turn_idx").where(col("tool").isNotNull)
+      .groupBy("conv_id", "tool").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    def edges: Map[(String, String), Long] =
+      TranscriptStream.readEdges(spark, io, "edges")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(edges == exp, "restarted stream must equal the batch derivation (no dup counting)")
+
+    // run 3: restart with NO new input — a pure replay must not change the
+    // view (Spark may still run an empty watermark-advance batch; any new
+    // snapshot must therefore carry zero increments)
+    val q3 = startQuery(); q3.processAllAvailable(); q3.stop()
+    val afterIdle = io.snapshots("edges")
+    assert(afterB.toSet.subsetOf(afterIdle.toSet))
+    (afterIdle.toSet -- afterB.toSet).foreach { s =>
+      assert(io.read(spark, s).count() == 0, s"idle restart wrote increments in $s")
+    }
+    assert(edges == exp)
+  }
 }
