@@ -32,6 +32,10 @@ object FrontierLab {
         f"load_pre=$l0%.2f load_post=${graft.core.HostLoad.load1}%.2f")
       if (r.frontierSizes.nonEmpty)
         println(s"FRONTIERLAB $label frontier_sizes=${r.frontierSizes.mkString(",")}")
+      // per-iteration wall times for the convergence tail: the broadcast-tail
+      // A/B signal lives in the last few (tiny-frontier) iterations, and
+      // per-iteration times are far less steal-exposed than loop totals
+      println(s"FRONTIERLAB $label tail_iter_ms=${r.metrics.takeRight(12).map(_.wallMs).mkString(",")}")
       keep += label -> r.ranks.localCheckpoint(false)
     }
     time("exact")(graft.algo.PageRank.run(edges, tol = 1e-6, maxIter = 100))
