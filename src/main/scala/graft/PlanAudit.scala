@@ -57,6 +57,20 @@ object PlanAudit {
       merge = sum(col("msg")))
       .explain("formatted")
 
+    println("=== F. gated aggregateMessages, Either (expect semi+anti ShuffledHashJoins on the frontier, NO row-multiplying join, then the E-shape) ===")
+    val frontier = g.vertices.where(pmod(col("vid"), lit(3L)) === 0).select("vid")
+    graft.operators.GraphOps.aggregateMessages(g.edges, amState,
+      msgToDst = Some(col("src_w") * col("weight")),
+      msgToSrc = Some(col("dst_w")),
+      merge = sum(col("msg")),
+      activeSet = Some(frontier),
+      activeness = graft.operators.GraphOps.EdgeActiveness.Either)
+      .explain("formatted")
+
+    println("=== G. typed weighted k-sample (expect ONE Exchange on the window keys feeding Window(src,kind) + filter; dict join broadcast-eligible) ===")
+    graft.functions.Samplers.weightedKTyped(g.edges, g.vertices, 2)
+      .explain("formatted")
+
     spark.stop()
   }
 }
