@@ -305,6 +305,24 @@ object Oracles {
        SELECT vid, CAST(SUM(msg) AS BIGINT) AS msg
        FROM m GROUP BY vid ORDER BY vid"""
 
+  /** Gated aggregateMessages (EdgeActiveness.Either over frontier
+    * vid % 3 = 0): only edges with an active endpoint fire; both message
+    * directions as in [[qAggMsg]]. */
+  val qAggMsgGated: String =
+    s"""WITH $graphCtes, st AS MATERIALIZED (
+         SELECT vid, (vid % 7) + 1 AS w FROM vertices
+       ), ge AS MATERIALIZED (
+         SELECT e.* FROM edges e WHERE e.src % 3 = 0 OR e.dst % 3 = 0
+       ), m AS MATERIALIZED (
+         SELECT e.dst AS vid, s.w * e.weight AS msg
+         FROM ge e JOIN st s ON s.vid = e.src
+         UNION ALL
+         SELECT e.src AS vid, s.w AS msg
+         FROM ge e JOIN st s ON s.vid = e.dst
+       )
+       SELECT vid, CAST(SUM(msg) AS BIGINT) AS msg
+       FROM m GROUP BY vid ORDER BY vid"""
+
   val qTriplets: String =
     s"""WITH $graphCtes
        SELECT e.src, e.dst, e.weight, v1.key AS src_key, v2.key AS dst_key

@@ -143,6 +143,19 @@ object SparkEntry {
         .orderBy("vid")
     }),
 
+    "q_aggmsg_gated" -> ((s, d) => { // EdgeActiveness gate over an active set
+      val g = graph(s, d)
+      val state = g.vertices.select(col("vid"), (pmod(col("vid"), lit(7L)) + 1L).as("w"))
+      val frontier = g.vertices.where(pmod(col("vid"), lit(3L)) === 0).select("vid")
+      GraphOps.aggregateMessages(g.edges, state,
+        msgToDst = Some(col("src_w") * col("weight")),
+        msgToSrc = Some(col("dst_w")),
+        merge = sum(col("msg")),
+        activeSet = Some(frontier),
+        activeness = GraphOps.EdgeActiveness.Either)
+        .orderBy("vid")
+    }),
+
     "q_triplets" -> ((s, d) => {
       val g = graph(s, d)
       GraphOps.triplets(g.edges, g.vertices).orderBy("src", "dst")
@@ -369,6 +382,7 @@ object SparkEntry {
     "q_reverse" -> Oracles.qReverse,
     "q_weighted_degree" -> Oracles.qWeightedDegree,
     "q_aggmsg" -> Oracles.qAggMsg,
+    "q_aggmsg_gated" -> Oracles.qAggMsgGated,
     "q_ppr" -> Oracles.qPpr,
     "q_triplets" -> Oracles.qTriplets,
     "q_typed_adjacency" -> Oracles.qTypedAdjacency,
