@@ -61,6 +61,24 @@ object FloorLab {
     time("step_ckpt") { // the real loop body: leaf + the loop's count action
       step.localCheckpoint(false).where(col("pr") >= 0).count(): Unit
     }
+
+    // Candidate lever: grouped-adjacency message pass — join probes the
+    // 2M-row adjacency cache instead of the 13.7M-row edge cache, then
+    // explodes. Segmented variant caps rows at `seg` dsts so a 10⁷-degree
+    // hub emits bounded rows (the flat edge cache needs no such cap — THE
+    // reason it ships; this measures what that safety costs per iteration).
+    val segW = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy("dst")
+    val adjSeg = graft.core.IterCache.byKey(
+      sym.withColumn("seg", ((row_number().over(segW) - 1) / 8192).cast("int"))
+        .groupBy(col("src"), col("seg")).agg(collect_list(col("dst")).as("dsts")),
+      "src")
+    adjSeg.count()
+    def msgsAdj = adjSeg.join(contribs.hint("shuffle_hash"), "src")
+      .select(explode(col("dsts")).as("vid"), col("contrib"))
+      .groupBy("vid").agg(sum(col("contrib")).as("msum"))
+    time("msg_adjseg")(msgsAdj.agg(count(lit(1))).head())
+    adjSeg.unpersist(false)
     spark.stop()
   }
 }
