@@ -94,6 +94,19 @@ object SparkEntry {
         .orderBy("vid")
     }),
 
+    "q_checkpoint" -> ((s, d) => { // vertex-state SINK + restore round-trip:
+      // the loop saves at iteration 10 (truncateEvery default) through the
+      // TableIO seam; a FRESH Checkpointer restores it — what the driver
+      // then oracles is the persisted-and-reloaded state, so the write
+      // path itself is under the hash-match gate
+      val dir = java.nio.file.Files.createTempDirectory("graft-q-ckpt").toString
+      PageRank.runFixed(graph(s, d).edges, iterations = 10,
+        checkpointer = Some(new graft.core.Checkpointer(s, dir, "q")))
+      val restored = new graft.core.Checkpointer(s, dir, "q").restore()
+        .getOrElse(sys.error("q_checkpoint: no committed snapshot"))
+      restored.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
+    }),
+
     "q_pagerank_cs" -> ((s, d) =>
       PageRank.runFixed(csGraph(s, d).edges, iterations = 10)
         .select(col("vid"), round(col("pr"), 6).as("pr"))
@@ -372,6 +385,7 @@ object SparkEntry {
     "q_adjacency_capped" -> Oracles.qAdjacencyCapped,
     "q_ngram_jaccard_df" -> Oracles.qNgramJaccardDf,
     "q_pagerank" -> Oracles.qPagerank,
+    "q_checkpoint" -> Oracles.qPagerank, // restored state == 10-step chain
     "q_pagerank_cs" -> Oracles.qPagerankCs,
     "q_cc" -> Oracles.qCc,
     "q_cc_minprop" -> Oracles.qCc,

@@ -243,9 +243,11 @@ object PageRank {
       edges: DataFrame,
       iterations: Int,
       resetProb: Double = 0.15,
-      vertices: Option[DataFrame] = None): DataFrame = {
+      vertices: Option[DataFrame] = None,
+      checkpointer: Option[Checkpointer] = None): DataFrame = {
     val sym = symCache(edges)
-    val res = IterativeRunner.loop(initState(sym, vertices), iterations) { (state, _) =>
+    val res = IterativeRunner.loop(initState(sym, vertices), iterations,
+      checkpointer = checkpointer) { (state, _) =>
       step(sym, state, resetProb, tol = 0.0)
     } { _ => 1L } // no early exit: run exactly `iterations` supersteps
     sym.unpersist(false)
