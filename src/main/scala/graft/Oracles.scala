@@ -137,6 +137,55 @@ object Oracles {
         $iters"""
   }
 
+  /** k-core peel chain ([[graft.algo.KCore.run]]): n rounds, each keeping
+    * survivors whose degree within the surviving subgraph is ≥ k (the final
+    * round is the engine's all-quiet confirmation, a no-op here too). */
+  def kcoreChain(n: Int, k: Long): String = {
+    val iters = (1 to n).map { i =>
+      s"""kc$i AS MATERIALIZED (
+        SELECT d.vid FROM (
+          SELECT s.src AS vid, COUNT(*) AS c FROM sym s
+          JOIN kc${i - 1} a ON a.vid = s.src
+          JOIN kc${i - 1} b ON b.vid = s.dst
+          GROUP BY s.src) d
+        WHERE d.c >= $k
+      )"""
+    }.mkString(", ")
+    s"kc0 AS MATERIALIZED (SELECT vid FROM vertices), $iters"
+  }
+
+  /** Shortest-paths relaxation chain ([[graft.algo.ShortestPaths.run]]): n
+    * frontier rounds of min-plus relaxation from the deterministic landmark
+    * set (tool vertices with vid % 7 = 0 — same set as [[qPpr]]); hop BFS
+    * when `weighted` is false, Bellman–Ford over edge weights otherwise. */
+  def ssspChain(n: Int, weighted: Boolean): String = {
+    val w = if (weighted) "CAST(weight AS BIGINT)" else "CAST(1 AS BIGINT)"
+    val iters = (1 to n).map { i =>
+      s"""bm$i AS MATERIALIZED (
+        SELECT s.dst AS vid, MIN(f.dist + s.w) AS cand
+        FROM symw s JOIN (SELECT vid, dist FROM b${i - 1} WHERE active) f ON f.vid = s.src
+        GROUP BY s.dst
+      ), b$i AS MATERIALIZED (
+        SELECT b.vid,
+               CASE WHEN m.cand IS NOT NULL AND (b.dist IS NULL OR m.cand < b.dist)
+                 THEN m.cand ELSE b.dist END AS dist,
+               COALESCE(m.cand IS NOT NULL AND (b.dist IS NULL OR m.cand < b.dist), FALSE) AS active
+        FROM b${i - 1} b LEFT JOIN bm$i m ON m.vid = b.vid
+      )"""
+    }.mkString(", ")
+    s"""symw AS MATERIALIZED (
+          SELECT src, dst, $w AS w FROM edges
+          UNION ALL
+          SELECT dst, src, $w FROM edges),
+        srcs AS MATERIALIZED (SELECT vid FROM vertices WHERE kind = 'tool' AND vid % 7 = 0),
+        b0 AS MATERIALIZED (
+          SELECT v.vid,
+                 CASE WHEN s.vid IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist,
+                 s.vid IS NOT NULL AS active
+          FROM vertices v LEFT JOIN srcs s ON s.vid = v.vid),
+        $iters"""
+  }
+
   /** LPA chain: k supersteps, argmax neighbor label, tie → min label. */
   def lpaChain(k: Int): String = {
     val iters = (1 to k).map { i =>
@@ -236,6 +285,83 @@ object Oracles {
        FROM edges e1
        JOIN edges e2 ON e2.src = e1.dst
        JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst"""
+
+  /** Wedge CTE shared by the link-prediction oracles: center z with neighbor
+    * pair a < b, over the distinct symmetric adjacency (mirrors
+    * [[graft.algo.LinkPrediction]]'s self-join exactly). */
+  private val wedgeCtes: String =
+    """symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+       wedge AS MATERIALIZED (
+         SELECT x.dst AS a, y.dst AS b, x.src AS z
+         FROM symd x JOIN symd y ON y.src = x.src AND x.dst < y.dst
+       )"""
+
+  val qCommonNeighbors: String =
+    s"""WITH $graphCtes, $wedgeCtes
+       SELECT a, b, CAST(COUNT(*) AS BIGINT) AS common
+       FROM wedge GROUP BY a, b HAVING COUNT(*) >= 2 ORDER BY a, b"""
+
+  /** Hub-capped variant: wedge centers above the degree cap are dropped
+    * before enumeration ([[graft.algo.LinkPrediction]] `maxWedgeDegree`). */
+  val qCommonNeighborsCapped: String =
+    s"""WITH $graphCtes, symd AS MATERIALIZED (SELECT DISTINCT src, dst FROM sym),
+       ok AS MATERIALIZED (
+         SELECT src FROM symd GROUP BY src HAVING COUNT(*) <= 20
+       ), capped AS MATERIALIZED (
+         SELECT s.src, s.dst FROM symd s JOIN ok o ON o.src = s.src
+       )
+       SELECT x.dst AS a, y.dst AS b, CAST(COUNT(*) AS BIGINT) AS common
+       FROM capped x JOIN capped y ON y.src = x.src AND x.dst < y.dst
+       GROUP BY x.dst, y.dst HAVING COUNT(*) >= 1 ORDER BY a, b"""
+
+  val qAdamicAdar: String =
+    s"""WITH $graphCtes, $wedgeCtes,
+       cdeg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM symd GROUP BY src)
+       SELECT w.a, w.b, CAST(COUNT(*) AS BIGINT) AS common,
+              ROUND(SUM(CAST(1.0 AS DOUBLE) / ln(CAST(c.d AS DOUBLE))), 6) AS aa
+       FROM wedge w JOIN cdeg c ON c.src = w.z
+       GROUP BY w.a, w.b HAVING COUNT(*) >= 2 ORDER BY a, b"""
+
+  val qJaccardNeighbors: String =
+    s"""WITH $graphCtes, $wedgeCtes,
+       deg AS MATERIALIZED (SELECT src AS vid, COUNT(*) AS degree FROM symd GROUP BY src),
+       cn AS MATERIALIZED (
+         SELECT a, b, COUNT(*) AS common FROM wedge GROUP BY a, b HAVING COUNT(*) >= 2
+       )
+       SELECT cn.a, cn.b, CAST(cn.common AS BIGINT) AS common,
+              ROUND(CAST(cn.common AS DOUBLE) /
+                    CAST(da.degree + db.degree - cn.common AS DOUBLE), 6) AS jaccard
+       FROM cn JOIN deg da ON da.vid = cn.a JOIN deg db ON db.vid = cn.b
+       ORDER BY a, b"""
+
+  val qClusteringCoeff: String =
+    s"""WITH $graphCtes, tri AS MATERIALIZED (
+         SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+         FROM edges e1
+         JOIN edges e2 ON e2.src = e1.dst
+         JOIN edges e3 ON e3.src = e1.src AND e3.dst = e2.dst
+       ), corners AS MATERIALIZED (
+         SELECT a AS vid FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri
+       ), tcount AS MATERIALIZED (
+         SELECT vid, COUNT(*) AS c FROM corners GROUP BY vid
+       ), deg AS MATERIALIZED (
+         SELECT src AS vid, COUNT(*) AS degree FROM sym GROUP BY src
+       )
+       SELECT v.vid, CAST(COALESCE(t.c, 0) AS BIGINT) AS triangles,
+              CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+              CASE WHEN COALESCE(d.degree, 0) < 2 THEN CAST(0.0 AS DOUBLE)
+                ELSE ROUND(CAST(2 * COALESCE(t.c, 0) AS DOUBLE) /
+                           CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) END AS lcc
+       FROM vertices v
+       LEFT JOIN tcount t ON t.vid = v.vid
+       LEFT JOIN deg d ON d.vid = v.vid
+       ORDER BY v.vid"""
+
+  val qDegreeHist: String =
+    s"""WITH $graphCtes,
+       deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src)
+       SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+       FROM deg GROUP BY degree ORDER BY degree"""
 
   val qSubgraph: String =
     s"""WITH $graphCtes
@@ -580,6 +706,28 @@ object Oracles {
        )
        SELECT tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
        FROM tfdf ORDER BY tf DESC, tok ASC LIMIT 100"""
+
+  /** tf-idf replay: same tokenizer, tf/df/N over the corpus, score =
+    * tf · ln(N/df) with the identical operation order as
+    * [[graft.text.TextStats.tfidf]] (exact-integer inputs, one division +
+    * one ln + one multiply → bit-identical doubles), top-3 per doc. */
+  val qTfidf: String =
+    s"""WITH $toksCte, tf AS MATERIALIZED (
+         SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY doc_id, tok
+       ), dfn AS MATERIALIZED (
+         SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+       ), n AS MATERIALIZED (
+         SELECT COUNT(*) AS n_docs FROM documents
+       ), ranked AS MATERIALIZED (
+         SELECT t.doc_id, t.tok,
+                CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) AS score,
+                ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY
+                  CAST(t.tf AS DOUBLE) * ln(CAST(n.n_docs AS DOUBLE) / CAST(d.df AS DOUBLE)) DESC,
+                  t.tok ASC) AS rnk
+         FROM tf t JOIN dfn d ON d.tok = t.tok CROSS JOIN n
+       )
+       SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, tok, ROUND(score, 6) AS score
+       FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk"""
 
   val qTokenCount: String =
     """SELECT doc_id,

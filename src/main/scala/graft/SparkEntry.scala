@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algo.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.algo.{ConnectedComponents, KCore, LabelPropagation, PageRank, ShortestPaths, TriangleCount}
 import graft.derive.LinkGraph
 import graft.operators.GraphOps
 
@@ -234,6 +234,58 @@ object SparkEntry {
         .toDF("num_vertices", "num_edges", "min_vid", "max_vid")
     }),
 
+    // ---- graph analytics beyond the reference surface ----
+
+    "q_common_neighbors" -> ((s, d) =>
+      graft.algo.LinkPrediction.commonNeighbors(graph(s, d).edges, minCommon = 2L)
+        .orderBy("a", "b")),
+
+    "q_common_neighbors_capped" -> ((s, d) => // hub-capped wedge centers (scale lever)
+      graft.algo.LinkPrediction.commonNeighbors(graph(s, d).edges, minCommon = 1L,
+          maxWedgeDegree = Some(20L))
+        .orderBy("a", "b")),
+
+    "q_adamic_adar" -> ((s, d) =>
+      graft.algo.LinkPrediction.adamicAdar(graph(s, d).edges, minCommon = 2L)
+        .select(col("a"), col("b"), col("common"), round(col("aa"), 6).as("aa"))
+        .orderBy("a", "b")),
+
+    "q_jaccard_neighbors" -> ((s, d) =>
+      graft.algo.LinkPrediction.jaccardNeighbors(graph(s, d).edges, minCommon = 2L)
+        .select(col("a"), col("b"), col("common"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a", "b")),
+
+    "q_clustering_coeff" -> ((s, d) => {
+      val g = graph(s, d)
+      TriangleCount.clusteringCoefficient(g.edges, g.vertices)
+        .select(col("vid"), col("triangles"), col("degree"), round(col("lcc"), 6).as("lcc"))
+        .orderBy("vid")
+    }),
+
+    "q_degree_hist" -> ((s, d) =>
+      GraphOps.degreeHistogram(graph(s, d).edges).orderBy("degree")),
+
+    "q_kcore" -> ((s, d) => { // iterative peel; iteration count → dynamic oracle
+      val g = graph(s, d)
+      val r = graft.algo.KCore.run(g.edges, g.vertices, k = kcoreK)
+      dynIterations.put(s"kcore|$d", r.iterations)
+      r.vertices.orderBy("vid")
+    }),
+
+    "q_bfs" -> ((s, d) => { // multi-source hop BFS from the landmark set
+      val g = graph(s, d)
+      val r = graft.algo.ShortestPaths.run(g.edges, g.vertices, landmarks(g), weighted = false)
+      dynIterations.put(s"bfs|$d", r.iterations)
+      r.distances.orderBy("vid")
+    }),
+
+    "q_sssp" -> ((s, d) => { // weighted Bellman–Ford over co-occurrence weights
+      val g = graph(s, d)
+      val r = graft.algo.ShortestPaths.run(g.edges, g.vertices, landmarks(g), weighted = true)
+      dynIterations.put(s"sssp|$d", r.iterations)
+      r.distances.orderBy("vid")
+    }),
+
     // ---- samplers (reference Reservoir / ARes semantics, deterministic) ----
 
     "q_sample_uniform" -> ((s, d) =>
@@ -290,6 +342,11 @@ object SparkEntry {
 
     "q_fingerprint" -> ((s, d) =>
       graft.text.TextStats.fingerprints(docs(s, d)).orderBy("doc_id")),
+
+    "q_tfidf" -> ((s, d) => // per-doc top-3 tf-idf terms
+      graft.text.TextStats.tfidf(docs(s, d), k = 3)
+        .select(col("doc_id"), col("rnk"), col("tok"), round(col("score"), 6).as("score"))
+        .orderBy("doc_id", "rnk")),
 
     // ---- dedup ----
 
@@ -373,6 +430,15 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** k for q_kcore — shared with the dynamic oracle's peel chain. */
+  private val kcoreK = 3L
+
+  /** Landmark set for q_bfs / q_sssp: the same deterministic tool-vertex
+    * predicate as q_ppr, shared with [[Oracles.ssspChain]]'s `srcs` CTE. */
+  private def landmarks(g: LinkGraph.GraphTables): DataFrame =
+    g.vertices.where(col("kind") === "tool" && pmod(col("vid"), lit(7L)) === 0L)
+      .select("vid")
+
   private def embeds(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
@@ -407,6 +473,13 @@ object SparkEntry {
     "q_map_vertices" -> Oracles.qMapVertices,
     "q_map_edges" -> Oracles.qMapEdges,
     "q_graph_stats" -> Oracles.qGraphStats,
+    "q_common_neighbors" -> Oracles.qCommonNeighbors,
+    "q_common_neighbors_capped" -> Oracles.qCommonNeighborsCapped,
+    "q_adamic_adar" -> Oracles.qAdamicAdar,
+    "q_jaccard_neighbors" -> Oracles.qJaccardNeighbors,
+    "q_clustering_coeff" -> Oracles.qClusteringCoeff,
+    "q_degree_hist" -> Oracles.qDegreeHist,
+    "q_tfidf" -> Oracles.qTfidf,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
     "q_sample_typed" -> Oracles.qSampleTyped,
@@ -446,6 +519,12 @@ object SparkEntry {
     * the whole loop once the length is known). */
   private val frontierIterations = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
+  /** Data-dependent iteration counts for the peel/relaxation loops
+    * (q_kcore / q_bfs / q_sssp), keyed "name|sfDir" — same
+    * populate-as-side-effect + computeIfAbsent-fallback contract as
+    * [[convIterations]]. */
+  private val dynIterations = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** Oracles that depend on engine state at the driver's scale factor:
     * q_pagerank_conv's oracle is the exact n-step DuckDB recurrence chain
     * for the converged iteration count n. Verify merges this over
@@ -461,12 +540,35 @@ object SparkEntry {
     val nf = frontierIterations.computeIfAbsent(sfDir,
       _ => PageRank.runFrontier(graph(spark, sfDir).edges, tol = 1e-6, maxIter = 100)
         .iterations).intValue
+    val nk = dynIterations.computeIfAbsent(s"kcore|$sfDir", _ => {
+      val g = graph(spark, sfDir)
+      KCore.run(g.edges, g.vertices, k = kcoreK).iterations
+    }).intValue
+    val nb = dynIterations.computeIfAbsent(s"bfs|$sfDir", _ => {
+      val g = graph(spark, sfDir)
+      ShortestPaths.run(g.edges, g.vertices, landmarks(g), weighted = false).iterations
+    }).intValue
+    val nw = dynIterations.computeIfAbsent(s"sssp|$sfDir", _ => {
+      val g = graph(spark, sfDir)
+      ShortestPaths.run(g.edges, g.vertices, landmarks(g), weighted = true).iterations
+    }).intValue
     Map(
       "q_pagerank_conv" ->
         s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
            SELECT vid, ROUND(pr, 6) AS pr FROM r$n ORDER BY vid""",
       "q_pagerank_frontier" ->
         s"""WITH ${Oracles.graphCtes}, ${Oracles.frontierChain(nf, freezeTol = 1e-6 * 0.01)}
-           SELECT vid, ROUND(pr, 6) AS pr FROM f$nf ORDER BY vid""")
+           SELECT vid, ROUND(pr, 6) AS pr FROM f$nf ORDER BY vid""",
+      "q_kcore" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.kcoreChain(nk, kcoreK)}
+           SELECT s.src AS vid, CAST(COUNT(*) AS BIGINT) AS core_degree
+           FROM sym s JOIN kc$nk a ON a.vid = s.src JOIN kc$nk b ON b.vid = s.dst
+           GROUP BY s.src ORDER BY vid""",
+      "q_bfs" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.ssspChain(nb, weighted = false)}
+           SELECT vid, COALESCE(dist, CAST(-1 AS BIGINT)) AS dist FROM b$nb ORDER BY vid""",
+      "q_sssp" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.ssspChain(nw, weighted = true)}
+           SELECT vid, COALESCE(dist, CAST(-1 AS BIGINT)) AS dist FROM b$nw ORDER BY vid""")
   }
 }

@@ -1,0 +1,97 @@
+package graft.algo
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.derive.LinkGraph
+
+/** Neighborhood-overlap link-prediction scores over the undirected link
+  * graph: common-neighbor counts, Adamic–Adar, and neighbor-Jaccard. The
+  * reference exposes the raw ingredients (neighbor tables `NeighN.scala`,
+  * degree PSFs `Graph.scala:349-424`) and leaves scoring to callers; here the
+  * whole score is one declarative plan.
+  *
+  * Shape: every score is computed from the WEDGE enumeration — for each
+  * center z and neighbor pair a < b emit (a, b, z) — which is a self-join of
+  * the adjacency on the center key followed by a partial-agg groupBy(a, b).
+  * Work is Σ_z deg(z)², so super-hub centers dominate at scale; the
+  * `maxWedgeDegree` cap drops wedge CENTERS above a degree cap (the standard
+  * scale lever: a z seen by millions of pairs contributes negligible
+  * per-pair evidence — Adamic–Adar already discounts it by 1/ln deg(z) —
+  * while costing deg² rows; same role as the shingle df-cap in
+  * [[graft.dedup.Dedup.ngramJaccard]]). `minCommon` prunes the output to
+  * pairs with enough shared structure, applied AFTER the aggregate so it
+  * composes with map-side combine.
+  */
+object LinkPrediction {
+
+  /** Canonical loop-free undirected edge set, both directions. */
+  private def sym(edges: DataFrame): DataFrame =
+    LinkGraph.symmetrize(
+      edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct())
+
+  /** Degree over [[sym]] (distinct-neighbor count). */
+  private def degrees(edges: DataFrame): DataFrame =
+    sym(edges).groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+
+  /** (a, b, z): neighbor pair a < b with common neighbor (wedge center) z. */
+  private def wedges(edges: DataFrame, maxWedgeDegree: Option[Long]): DataFrame = {
+    val s = sym(edges)
+    val centers = maxWedgeDegree match {
+      case None => s
+      case Some(cap) =>
+        // left_semi against the sub-cap center set; the aggregate is tiny
+        // (one row per vertex) and partial-aggregates before its shuffle
+        val ok = s.groupBy("src").agg(count(lit(1)).as("cdeg"))
+          .where(col("cdeg") <= cap).select("src")
+        s.join(ok, Seq("src"), "left_semi")
+    }
+    centers.as("x").join(centers.as("y"),
+        col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("a"), col("y.dst").as("b"), col("x.src").as("z"))
+  }
+
+  /** (a, b, common): number of shared neighbors per candidate pair. */
+  def commonNeighbors(
+      edges: DataFrame,
+      minCommon: Long = 1L,
+      maxWedgeDegree: Option[Long] = None): DataFrame =
+    wedges(edges, maxWedgeDegree)
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+
+  /** (a, b, common, aa): Adamic–Adar score Σ_z 1/ln(deg z) over shared
+    * neighbors z (deg z ≥ 2 for any wedge center, so ln is never 0). */
+  def adamicAdar(
+      edges: DataFrame,
+      minCommon: Long = 1L,
+      maxWedgeDegree: Option[Long] = None): DataFrame = {
+    val deg = degrees(edges).select(col("vid").as("z"), col("degree").as("zdeg"))
+    wedges(edges, maxWedgeDegree)
+      .join(deg.hint("shuffle_hash"), "z")
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("zdeg").cast("double"))).as("aa"))
+      .where(col("common") >= minCommon)
+  }
+
+  /** (a, b, common, jaccard): |N(a)∩N(b)| / |N(a)∪N(b)|, the union size via
+    * deg(a) + deg(b) − common (exact integers, one division — bit-portable
+    * across engines). */
+  def jaccardNeighbors(
+      edges: DataFrame,
+      minCommon: Long = 1L,
+      maxWedgeDegree: Option[Long] = None): DataFrame = {
+    val deg = degrees(edges)
+    commonNeighbors(edges, minCommon, maxWedgeDegree)
+      .join(deg.select(col("vid").as("a"), col("degree").as("da")), "a")
+      .join(deg.select(col("vid").as("b"), col("degree").as("db")), "b")
+      .select(col("a"), col("b"), col("common"),
+        (col("common").cast("double") /
+          (col("da") + col("db") - col("common")).cast("double")).as("jaccard"))
+  }
+}

@@ -55,4 +55,25 @@ object TriangleCount {
   }
 
   def total(edges: DataFrame): Long = triangles(edges).count()
+
+  /** Local clustering coefficient per vertex: 2·tri(v) / (deg(v)·(deg(v)−1)),
+    * 0 when deg < 2. Exact integers on both sides of one division, so the
+    * doubles are bit-portable to the SQL oracle. Degree here is the
+    * distinct-neighbor count over the same canonical loop-free edge set the
+    * triangle pass dedups to. */
+  def clusteringCoefficient(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val canon = edges
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+    val deg = graft.operators.GraphOps.degrees(canon)
+    perVertex(edges, vertices)
+      .join(deg, Seq("vid"), "left")
+      .select(col("vid"), col("triangles"),
+        coalesce(col("degree"), lit(0L)).as("degree"))
+      .withColumn("lcc",
+        when(col("degree") < 2, lit(0.0))
+          .otherwise((lit(2L) * col("triangles")).cast("double") /
+            (col("degree") * (col("degree") - 1)).cast("double")))
+  }
 }

@@ -21,6 +21,12 @@ object GraphOps {
       .groupBy(col("src").as("vid"))
       .agg(count(lit(1)).as("degree"))
 
+  /** Degree distribution (degree, n_vertices): the power-law summary every
+    * graph audit starts with. Two partial-agg shuffles, the second over one
+    * row per distinct degree — O(max degree) output regardless of scale. */
+  def degreeHistogram(edges: DataFrame): DataFrame =
+    degrees(edges).groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
 

@@ -90,6 +90,30 @@ object TextStats {
       .select(col("doc_id"), coalesce(col("top.lang"), lit("und")).as("lang_pred"))
   }
 
+  /** Per-document top-k tf-idf terms: score = tf · ln(N/df), k best terms
+    * per doc (ties → token asc). The corpus stats are two partial-agg
+    * shuffles (doc×token tf, then token df); N arrives as a broadcast
+    * one-row crossJoin so no driver-side action sits in the plan. The top-k
+    * window partitions BY DOC — per-group heaps, never a single-partition
+    * global sort — so the shape survives a 10⁹-document corpus. Score
+    * arithmetic is one division + one ln + one multiply over exact integers:
+    * bit-portable to the SQL oracle. */
+  def tfidf(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(df, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score",
+        col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")))
+      .withColumn("rnk", row_number().over(w)).where(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
+  }
+
   /** Content fingerprint: md5 of the text plus a 64-bit-ish integer digest
     * derived from the md5 hex (portable to any SQL engine with ascii()/md5).
     */
