@@ -71,6 +71,40 @@ object PlanAudit {
     graft.functions.Samplers.weightedKTyped(g.edges, g.vertices, 2)
       .explain("formatted")
 
+    println("=== H. wedge link-prediction, Adamic-Adar (expect self-join on ONE Exchange of the center key, partial+final HashAggregate on (a,b), post-agg minCommon Filter, shuffle-hash degree join) ===")
+    graft.algo.LinkPrediction.adamicAdar(g.edges, minCommon = 2L)
+      .explain("formatted")
+
+    println("=== I. k-core superstep (expect two left_semi ShuffledHashJoins on the cached sym, partial+final degree HashAggregate, one-column state left join — NO BroadcastExchange of state) ===")
+    val kAlive = g.vertices.select(col("vid"))
+    val kSym = LinkGraph.symmetrize(
+      g.edges.select(least(col("src"), col("dst")).as("src"),
+          greatest(col("src"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct())
+    kSym
+      .join(kAlive.select(col("vid").as("src")).hint("shuffle_hash"), Seq("src"), "left_semi")
+      .join(kAlive.select(col("vid").as("dst")).hint("shuffle_hash"), Seq("dst"), "left_semi")
+      .groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+      .explain("formatted")
+
+    println("=== J. SSSP relaxation superstep (expect frontier-filtered state as the shuffle-hash build side, min partial+final HashAggregate, left join back to state) ===")
+    val sState = g.vertices.select(col("vid"),
+      when(pmod(col("vid"), lit(7L)) === 0, lit(0L)).as("dist"),
+      (pmod(col("vid"), lit(7L)) === 0).as("active"))
+    val sSym = g.edges.select(col("src"), col("dst"), lit(1L).as("w"))
+      .union(g.edges.select(col("dst").as("src"), col("src").as("dst"), lit(1L).as("w")))
+    val sMsgs = sSym
+      .join(sState.where(col("active")).select(col("vid").as("src"), col("dist"))
+        .hint("shuffle_hash"), "src")
+      .groupBy(col("dst").as("vid")).agg(min(col("dist") + col("w")).as("cand"))
+    sState.join(sMsgs, Seq("vid"), "left")
+      .select(col("vid"), least(col("dist"), col("cand")).as("dist"))
+      .explain("formatted")
+
+    println("=== K. tf-idf top-k (expect two partial+final HashAggregates, BroadcastExchange ONLY of the one-row count, Window partitioned BY DOC — no single-partition Sort) ===")
+    graft.text.TextStats.tfidf(spark.read.parquet(s"$sfDir/documents.parquet"), 3)
+      .explain("formatted")
+
     spark.stop()
   }
 }
