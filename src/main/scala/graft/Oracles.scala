@@ -186,6 +186,60 @@ object Oracles {
         $iters"""
   }
 
+  /** HITS chain ([[graft.algo.Hits.run]]): k rounds of the mutual
+    * recursion over the DIRECTED canonical edges, max-normalized each
+    * half-step (max is float-order-independent — the reason the engine
+    * normalizes by max instead of an L1/L2 sum). */
+  def hitsChain(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""ar$i AS MATERIALIZED (
+        SELECT e.dst AS vid, SUM(h.hub) AS araw
+        FROM edges e JOIN h${i - 1} h ON h.vid = e.src GROUP BY e.dst
+      ), am$i AS MATERIALIZED (SELECT MAX(araw) AS amax FROM ar$i),
+      au$i AS MATERIALIZED (
+        SELECT v.vid, COALESCE(a.araw / m.amax, CAST(0 AS DOUBLE)) AS auth
+        FROM h${i - 1} v LEFT JOIN ar$i a ON a.vid = v.vid CROSS JOIN am$i m
+      ), hr$i AS MATERIALIZED (
+        SELECT e.src AS vid, SUM(a.auth) AS hraw
+        FROM edges e JOIN au$i a ON a.vid = e.dst GROUP BY e.src
+      ), hm$i AS MATERIALIZED (SELECT MAX(hraw) AS hmax FROM hr$i),
+      h$i AS MATERIALIZED (
+        SELECT v.vid, COALESCE(h.hraw / m.hmax, CAST(0 AS DOUBLE)) AS hub, v.auth
+        FROM au$i v LEFT JOIN hr$i h ON h.vid = v.vid CROSS JOIN hm$i m
+      )"""
+    }.mkString(", ")
+    s"""h0 AS MATERIALIZED (
+          SELECT vid, CAST(1.0 AS DOUBLE) AS hub, CAST(1.0 AS DOUBLE) AS auth
+          FROM vertices),
+        $iters"""
+  }
+
+  /** Per-landmark BFS chain ([[graft.algo.ShortestPaths.landmarkDistances]]):
+    * sparse (vid, lm, dist) state from the deterministic landmark set, n
+    * rounds of frontier relaxation with a FULL join folding newly discovered
+    * pairs in — the GraphX `lib.ShortestPaths` distance-map semantics. */
+  def landmarkChain(n: Int): String = {
+    val iters = (1 to n).map { i =>
+      s"""lmm$i AS MATERIALIZED (
+        SELECT s.dst AS vid, f.lm, MIN(f.dist + 1) AS cand
+        FROM sym s JOIN (SELECT vid, lm, dist FROM lm${i - 1} WHERE active) f
+          ON f.vid = s.src
+        GROUP BY s.dst, f.lm
+      ), lm$i AS MATERIALIZED (
+        SELECT COALESCE(a.vid, m.vid) AS vid, COALESCE(a.lm, m.lm) AS lm,
+               CASE WHEN m.cand IS NOT NULL AND (a.dist IS NULL OR m.cand < a.dist)
+                 THEN m.cand ELSE a.dist END AS dist,
+               COALESCE(m.cand IS NOT NULL AND (a.dist IS NULL OR m.cand < a.dist), FALSE) AS active
+        FROM lm${i - 1} a FULL JOIN lmm$i m ON m.vid = a.vid AND m.lm = a.lm
+      )"""
+    }.mkString(", ")
+    s"""lmsrcs AS MATERIALIZED (
+          SELECT vid FROM vertices WHERE kind = 'tool' AND vid % 2 = 0),
+        lm0 AS MATERIALIZED (
+          SELECT vid, vid AS lm, CAST(0 AS BIGINT) AS dist, TRUE AS active FROM lmsrcs),
+        $iters"""
+  }
+
   /** LPA chain: k supersteps, argmax neighbor label, tie → min label. */
   def lpaChain(k: Int): String = {
     val iters = (1 to k).map { i =>
@@ -362,6 +416,32 @@ object Oracles {
        deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src)
        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
        FROM deg GROUP BY degree ORDER BY degree"""
+
+  /** Fixed-10-round HITS replay — static (iteration count is not
+    * data-dependent, unlike the tolerance chains). */
+  val qHits: String =
+    s"""WITH $graphCtes, ${hitsChain(10)}
+       SELECT vid, ROUND(hub, 6) AS hub, ROUND(auth, 6) AS auth
+       FROM h10 ORDER BY vid"""
+
+  /** Degree assortativity replay: exact BIGINT moments over sym, the
+    * identical Pearson expression (same op order) evaluated once. */
+  val qAssortativity: String =
+    s"""WITH $graphCtes,
+       deg AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src),
+       mom AS MATERIALIZED (
+         SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                SUM(a.degree) AS sx, SUM(b.degree) AS sy,
+                SUM(a.degree * a.degree) AS sxx,
+                SUM(b.degree * b.degree) AS syy,
+                SUM(a.degree * b.degree) AS sxy
+         FROM sym s JOIN deg a ON a.vid = s.src JOIN deg b ON b.vid = s.dst
+       )
+       SELECT m AS m_edges,
+              ROUND(CAST(m * sxy - sx * sy AS DOUBLE) /
+                (sqrt(CAST(m * sxx - sx * sx AS DOUBLE)) *
+                 sqrt(CAST(m * syy - sy * sy AS DOUBLE))), 6) AS assortativity
+       FROM mom"""
 
   val qSubgraph: String =
     s"""WITH $graphCtes
@@ -755,11 +835,12 @@ object Oracles {
        FROM documents d JOIN agg a ON a.doc_id = d.doc_id ORDER BY d.doc_id"""
   }
 
-  val qLangid: String = {
+  /** Marker-scores + argmax CTEs shared by [[qLangid]] and
+    * [[qStratifiedSample]] (assumes `toks` is already in scope). */
+  private val langidCtes: String = {
     val markerValues = graft.text.TextStats.langMarkers.toSeq.sortBy(_._1)
       .flatMap { case (l, ws) => ws.map(w => s"('$l', '$w')") }.mkString(", ")
-    s"""WITH $toksCte,
-       markers(lang, tok) AS (VALUES $markerValues),
+    s"""markers(lang, tok) AS (VALUES $markerValues),
        scores AS MATERIALIZED (
          SELECT t.doc_id, m.lang, CAST(COUNT(*) AS BIGINT) AS score
          FROM toks t JOIN markers m ON m.tok = t.tok GROUP BY t.doc_id, m.lang
@@ -772,11 +853,16 @@ object Oracles {
          SELECT doc_id, lang,
                 ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rn
          FROM scores WHERE score > 0
-       )
-       SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
-       FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
-       ORDER BY d.doc_id"""
+       ),
+       langpred AS MATERIALIZED (
+         SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred
+         FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+       )"""
   }
+
+  val qLangid: String =
+    s"""WITH $toksCte, $langidCtes
+       SELECT doc_id, lang_pred FROM langpred ORDER BY doc_id"""
 
   val qFingerprint: String = {
     val terms = (0 until 8)
@@ -786,6 +872,64 @@ object Oracles {
        CAST(($terms) % 1000000007 AS BIGINT) AS fp
        FROM documents ORDER BY doc_id"""
   }
+
+  /** Token repetition replay: 1 − |distinct|/|tokens| per doc. */
+  val qRepetition: String =
+    """SELECT doc_id,
+       CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+       CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS INTEGER) AS n_distinct,
+       CASE WHEN len(regexp_extract_all(lower(text), '[a-z0-9]+')) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE ROUND(CAST(1.0 AS DOUBLE) -
+              CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS DOUBLE) /
+              len(regexp_extract_all(lower(text), '[a-z0-9]+')), 6) END AS rep_ratio
+       FROM documents ORDER BY doc_id"""
+
+  /** Stratified-sample replay ([[graft.text.CorpusOps.stratifiedSample]]):
+    * stratum = langid prediction, keep iff the portable md5-nibble draw of
+    * 'doc_id:salt' is under the stratum's INTEGER threshold — thresholds
+    * stringified from the engine's own `strataThresholds`, so the cutoff
+    * literals cannot fork. */
+  val qStratifiedSample: String = {
+    val thresholdValues = graft.text.CorpusOps.strataThresholds
+      .map { case (l, t) => s"('$l', CAST($t AS BIGINT))" }.mkString(", ")
+    val draw = graft.functions.PortableHash.md5Pack60Sql(
+      s"CAST(doc_id AS VARCHAR) || ':${graft.text.CorpusOps.sampleSalt}'")
+    s"""WITH $toksCte, $langidCtes,
+       thresholds(lang_pred, threshold) AS (VALUES $thresholdValues),
+       drawn AS MATERIALIZED (
+         SELECT l.doc_id, l.lang_pred AS stratum, t.threshold,
+                CAST($draw % 1000000007 AS BIGINT) AS draw
+         FROM langpred l JOIN thresholds t ON t.lang_pred = l.lang_pred
+       )
+       SELECT doc_id, stratum, draw FROM drawn WHERE draw < threshold
+       ORDER BY doc_id"""
+  }
+
+  /** Contamination replay ([[graft.text.CorpusOps.contamination]]): distinct
+    * 8-token shingles, eval set = doc_id % 97 = 0, per-corpus-doc hit count
+    * against the eval shingle set. */
+  val qContamination: String =
+    """WITH tk8 AS MATERIALIZED (
+         SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+       ), sh8 AS MATERIALIZED (
+         SELECT DISTINCT doc_id,
+                t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] AS shingle
+         FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 7)) AS i FROM tk8) x
+       ), eval_sh AS MATERIALIZED (
+         SELECT DISTINCT shingle FROM sh8 WHERE doc_id % 97 = 0
+       ), corpus AS MATERIALIZED (
+         SELECT doc_id, shingle FROM sh8 WHERE doc_id % 97 <> 0
+       ), sizes AS MATERIALIZED (
+         SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM corpus GROUP BY doc_id
+       ), hits AS MATERIALIZED (
+         SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+         FROM corpus c JOIN eval_sh e ON e.shingle = c.shingle GROUP BY c.doc_id
+       )
+       SELECT s.doc_id, s.n_sh, COALESCE(h.n_hit, CAST(0 AS BIGINT)) AS n_hit,
+              ROUND(CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / s.n_sh, 6) AS frac
+       FROM sizes s LEFT JOIN hits h ON h.doc_id = s.doc_id
+       ORDER BY s.doc_id"""
 
   // ---- dedup over documents ----
 

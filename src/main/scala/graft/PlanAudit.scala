@@ -105,6 +105,41 @@ object PlanAudit {
     graft.text.TextStats.tfidf(spark.read.parquet(s"$sfDir/documents.parquet"), 3)
       .explain("formatted")
 
+    println("=== L. HITS half-superstep (expect edge join with shuffle-hash state build side, partial+final sum HashAggregate, BroadcastExchange ONLY of the one-row max) ===")
+    val hState = g.vertices.select(col("vid"), lit(1.0).as("hub"))
+    val hARaw = g.edges
+      .join(hState.select(col("vid").as("src"), col("hub")).hint("shuffle_hash"), "src")
+      .groupBy(col("dst").as("vid")).agg(sum(col("hub")).as("araw"))
+    g.vertices.select(col("vid"))
+      .join(hARaw.hint("shuffle_hash"), Seq("vid"), "left")
+      .crossJoin(broadcast(hARaw.agg(max(col("araw")).as("amax"))))
+      .select(col("vid"), coalesce(col("araw") / col("amax"), lit(0.0)).as("auth"))
+      .explain("formatted")
+
+    println("=== M. landmark-distance superstep (expect frontier-filtered shuffle-hash join, min HashAggregate keyed (vid,lm), full-outer fold — NO broadcast of state) ===")
+    val lmState = g.vertices.where(pmod(col("vid"), lit(7L)) === 0)
+      .select(col("vid"), col("vid").as("lm"), lit(0L).as("dist"), lit(true).as("active"))
+    val lmSym = LinkGraph.symmetrize(g.edges.select(col("src"), col("dst")))
+    val lmMsgs = lmSym
+      .join(lmState.where(col("active"))
+        .select(col("vid").as("src"), col("lm"), col("dist")).hint("shuffle_hash"), "src")
+      .groupBy(col("dst").as("vid"), col("lm")).agg(min(col("dist") + 1L).as("cand"))
+    lmState.join(lmMsgs, Seq("vid", "lm"), "full")
+      .select(col("vid"), col("lm"), least(col("dist"), col("cand")).as("dist"))
+      .explain("formatted")
+
+    println("=== N. assortativity (expect one degree HashAggregate, two vertex-sized shuffle-hash joins onto sym, single scalar HashAggregate — no window, no broadcast of degrees) ===")
+    graft.operators.GraphOps.assortativity(g.edges)
+      .explain("formatted")
+
+    println("=== O. contamination screen (expect shingle scan + left_semi/left_anti on eval ids, semi-join on shingle, two doc-keyed partial+final HashAggregates — no self-join of the corpus) ===")
+    graft.text.CorpusOps.contamination(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .explain("formatted")
+
+    println("=== P2. stratified sample (expect the langId plan + broadcast threshold join + scan-fused draw filter — no extra shuffle beyond langId's) ===")
+    graft.text.CorpusOps.stratifiedSample(spark.read.parquet(s"$sfDir/documents.parquet"))
+      .explain("formatted")
+
     spark.stop()
   }
 }

@@ -286,6 +286,32 @@ object SparkEntry {
       r.distances.orderBy("vid")
     }),
 
+    "q_landmark_dists" -> ((s, d) => { // GraphX lib.ShortestPaths semantics
+      val g = graph(s, d)
+      val r = graft.algo.ShortestPaths.landmarkDistances(g.edges, g.vertices, lmLandmarks(g))
+      dynIterations.put(s"lmdist|$d", r.iterations)
+      r.distances.orderBy("vid", "lm")
+    }),
+
+    "q_closeness" -> ((s, d) => { // harmonic closeness over the landmark set
+      val g = graph(s, d)
+      val r = graft.algo.ShortestPaths.landmarkDistances(g.edges, g.vertices, lmLandmarks(g))
+      dynIterations.put(s"lmdist|$d", r.iterations)
+      graft.algo.ShortestPaths.harmonicCloseness(r.distances)
+        .select(col("vid"), col("n_reach"), round(col("harmonic"), 6).as("harmonic"))
+        .orderBy("vid")
+    }),
+
+    "q_hits" -> ((s, d) => { // Kleinberg hubs & authorities, 10 rounds
+      val g = graph(s, d)
+      graft.algo.Hits.run(g.edges, g.vertices, iterations = 10).scores
+        .select(col("vid"), round(col("hub"), 6).as("hub"), round(col("auth"), 6).as("auth"))
+        .orderBy("vid")
+    }),
+
+    "q_assortativity" -> ((s, d) =>
+      GraphOps.assortativity(graph(s, d).edges)),
+
     // ---- samplers (reference Reservoir / ARes semantics, deterministic) ----
 
     "q_sample_uniform" -> ((s, d) =>
@@ -347,6 +373,15 @@ object SparkEntry {
       graft.text.TextStats.tfidf(docs(s, d), k = 3)
         .select(col("doc_id"), col("rnk"), col("tok"), round(col("score"), 6).as("score"))
         .orderBy("doc_id", "rnk")),
+
+    "q_repetition" -> ((s, d) =>
+      graft.text.TextStats.repetition(docs(s, d)).orderBy("doc_id")),
+
+    "q_stratified_sample" -> ((s, d) => // deterministic language-stratified mix
+      graft.text.CorpusOps.stratifiedSample(docs(s, d)).orderBy("doc_id")),
+
+    "q_contamination" -> ((s, d) => // 8-gram benchmark-overlap screen
+      graft.text.CorpusOps.contamination(docs(s, d)).orderBy("doc_id")),
 
     // ---- dedup ----
 
@@ -439,6 +474,15 @@ object SparkEntry {
     g.vertices.where(col("kind") === "tool" && pmod(col("vid"), lit(7L)) === 0L)
       .select("vid")
 
+  /** Landmark set for q_landmark_dists / q_closeness: even-vid tools — a
+    * DIFFERENT predicate from [[landmarks]] deliberately, because vid%7
+    * selects zero tools at sf0.001 and the per-landmark map oracle would be
+    * vacuous there (q_bfs/q_sssp stay non-vacuous with an empty set — they
+    * emit dist=-1 for every vertex — so their predicate is unchanged). */
+  private def lmLandmarks(g: LinkGraph.GraphTables): DataFrame =
+    g.vertices.where(col("kind") === "tool" && pmod(col("vid"), lit(2L)) === 0L)
+      .select("vid")
+
   private def embeds(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/embeddings.parquet")
 
@@ -479,7 +523,12 @@ object SparkEntry {
     "q_jaccard_neighbors" -> Oracles.qJaccardNeighbors,
     "q_clustering_coeff" -> Oracles.qClusteringCoeff,
     "q_degree_hist" -> Oracles.qDegreeHist,
+    "q_hits" -> Oracles.qHits,
+    "q_assortativity" -> Oracles.qAssortativity,
     "q_tfidf" -> Oracles.qTfidf,
+    "q_repetition" -> Oracles.qRepetition,
+    "q_stratified_sample" -> Oracles.qStratifiedSample,
+    "q_contamination" -> Oracles.qContamination,
     "q_sample_uniform" -> Oracles.qSampleUniform,
     "q_sample_weighted" -> Oracles.qSampleWeighted,
     "q_sample_typed" -> Oracles.qSampleTyped,
@@ -552,6 +601,10 @@ object SparkEntry {
       val g = graph(spark, sfDir)
       ShortestPaths.run(g.edges, g.vertices, landmarks(g), weighted = true).iterations
     }).intValue
+    val nl = dynIterations.computeIfAbsent(s"lmdist|$sfDir", _ => {
+      val g = graph(spark, sfDir)
+      ShortestPaths.landmarkDistances(g.edges, g.vertices, lmLandmarks(g)).iterations
+    }).intValue
     Map(
       "q_pagerank_conv" ->
         s"""WITH ${Oracles.graphCtes}, ${Oracles.pagerankChain(n)}
@@ -569,6 +622,15 @@ object SparkEntry {
            SELECT vid, COALESCE(dist, CAST(-1 AS BIGINT)) AS dist FROM b$nb ORDER BY vid""",
       "q_sssp" ->
         s"""WITH ${Oracles.graphCtes}, ${Oracles.ssspChain(nw, weighted = true)}
-           SELECT vid, COALESCE(dist, CAST(-1 AS BIGINT)) AS dist FROM b$nw ORDER BY vid""")
+           SELECT vid, COALESCE(dist, CAST(-1 AS BIGINT)) AS dist FROM b$nw ORDER BY vid""",
+      "q_landmark_dists" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.landmarkChain(nl)}
+           SELECT vid, lm, dist FROM lm$nl ORDER BY vid, lm""",
+      "q_closeness" ->
+        s"""WITH ${Oracles.graphCtes}, ${Oracles.landmarkChain(nl)}
+           SELECT vid, CAST(COUNT(*) AS BIGINT) AS n_reach,
+                  ROUND(SUM(CASE WHEN dist > 0 THEN CAST(1.0 AS DOUBLE) / dist
+                            ELSE CAST(0 AS DOUBLE) END), 6) AS harmonic
+           FROM lm$nl GROUP BY vid ORDER BY vid""")
   }
 }

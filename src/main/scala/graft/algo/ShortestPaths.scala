@@ -65,4 +65,56 @@ object ShortestPaths {
     sym.unpersist(false)
     Result(out, res.iterations)
   }
+
+  /** GraphX-`lib.ShortestPaths` semantics: hop distance from EVERY landmark
+    * separately (a vid → {landmark → dist} map), not the min-combined single
+    * distance [[run]] returns — the per-landmark vector is what closeness /
+    * positional features need. State is the SPARSE exploded map
+    * (vid, lm, dist, active): rows exist only for discovered pairs, the
+    * frontier publishes (dist+1) per landmark, and a FULL outer join folds
+    * new discoveries in (state grows monotonically to Σ_v |landmarks
+    * reachable from v| — the same O(|V|·|L|) worst case GraphX's map-state
+    * carries, priced per-row here instead of per-vertex-map). One exchange
+    * per superstep; rounds = hop diameter.
+    */
+  def landmarkDistances(
+      edges: DataFrame,
+      vertices: DataFrame,
+      sources: DataFrame,
+      maxIter: Int = 100): Result = {
+    val sym = graft.core.IterCache.byKey(
+      graft.derive.LinkGraph.symmetrize(edges.select(col("src"), col("dst"))), "src")
+
+    val init = sources.select(col("vid"), col("vid").as("lm"),
+      lit(0L).as("dist"), lit(true).as("active"))
+
+    val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
+      val msgs = sym
+        .join(state.where(col("active"))
+          .select(col("vid").as("src"), col("lm"), col("dist")).hint("shuffle_hash"), "src")
+        .groupBy(col("dst").as("vid"), col("lm"))
+        .agg(min(col("dist") + 1L).as("cand"))
+      // full outer: newly discovered (vid, lm) pairs enter with state-side
+      // nulls; least() folds the improvement for existing pairs
+      state.join(msgs, Seq("vid", "lm"), "full").select(
+        col("vid"), col("lm"),
+        least(col("dist"), col("cand")).as("dist"),
+        (col("cand").isNotNull &&
+          (col("dist").isNull || col("cand") < col("dist"))).as("active"))
+    } { next => next.where(col("active")).count() }
+
+    val out = res.state.select(col("vid"), col("lm"), col("dist")).localCheckpoint(false)
+    sym.unpersist(false)
+    Result(out, res.iterations)
+  }
+
+  /** Harmonic closeness over a landmark distance table ([[landmarkDistances]]
+    * output): Σ_{lm : 0 < dist} 1/dist, plus the reachable-landmark count.
+    * Unreached landmarks contribute 0 by absence (the sparse state never
+    * materializes them) — the standard harmonic convention. */
+  def harmonicCloseness(distances: DataFrame): DataFrame =
+    distances.groupBy("vid").agg(
+      count(lit(1)).as("n_reach"),
+      sum(when(col("dist") > 0L, lit(1.0) / col("dist").cast("double"))
+        .otherwise(lit(0.0))).as("harmonic"))
 }

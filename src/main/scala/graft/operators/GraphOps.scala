@@ -27,6 +27,43 @@ object GraphOps {
   def degreeHistogram(edges: DataFrame): DataFrame =
     degrees(edges).groupBy("degree").agg(count(lit(1)).as("n_vertices"))
 
+  /** Degree assortativity (Newman 2002): Pearson correlation of endpoint
+    * degrees over the symmetrized edge set — one number summarizing whether
+    * hubs link to hubs (>0) or to leaves (<0). All five moments accumulate
+    * in EXACT BigInt-free BIGINT space (counts and products of integer
+    * degrees — order-independent, so the DuckDB oracle matches bit-for-bit),
+    * and only the final Pearson expression drops to doubles. Shape: one
+    * degree agg + two vertex-sized shuffle-hash joins onto the edge pairs +
+    * a scalar agg — no broadcast of anything vertex-sized, no window.
+    *
+    * Overflow envelope (ANSI mode throws loudly past it): Σ d² ≤ 2|E|·d²max
+    * needs d²max·2|E| < 2⁶³ — fine for |E| ≤ 10¹² with dmax ≤ ~2·10⁶ hubs
+    * capped; a web-scale corpus beyond that should pre-cap hub degrees (the
+    * same `maxNeighbors` guard the adjacency ops use) or accept double
+    * moments. */
+  def assortativity(edges: DataFrame): DataFrame = {
+    val sym = LinkGraph.symmetrize(edges.select(col("src"), col("dst")))
+    val deg = degrees(edges)
+    val pairs = sym
+      .join(deg.select(col("vid").as("src"), col("degree").as("dx"))
+        .hint("shuffle_hash"), "src")
+      .join(deg.select(col("vid").as("dst"), col("degree").as("dy"))
+        .hint("shuffle_hash"), "dst")
+    pairs
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"),
+        sum(col("dx") * col("dy")).as("sxy"))
+      .select(col("m").as("m_edges"),
+        round(
+          (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))),
+          6).as("assortativity"))
+  }
+
   def outDegrees(edges: DataFrame): DataFrame =
     edges.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
 

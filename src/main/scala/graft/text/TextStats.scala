@@ -114,6 +114,17 @@ object TextStats {
       .select(col("doc_id"), col("rnk"), col("tok"), col("score"))
   }
 
+  /** Token repetition ratio, the cheap boilerplate/spam signal: 1 −
+    * |distinct tokens| / |tokens| (0 for empty docs). Pure scan-fused map —
+    * no shuffle, no explode; the distinct runs inside the array column. */
+  def repetition(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens).as("n_tokens"),
+        size(array_distinct(tokens)).as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(round(lit(1.0) -
+            col("n_distinct").cast("double") / col("n_tokens"), 6)).as("rep_ratio"))
+
   /** Content fingerprint: md5 of the text plus a 64-bit-ish integer digest
     * derived from the md5 hex (portable to any SQL engine with ascii()/md5).
     */

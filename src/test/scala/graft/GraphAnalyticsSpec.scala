@@ -212,6 +212,104 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(got.values.sum == adj.size)
   }
 
+  // ---- HITS ----
+
+  test("HITS matches a driver-side max-normalized power iteration") {
+    val dirEdges = GraphFixture.edgeList
+    val allV = GraphFixture.vertexIds
+    var hub = allV.map(_ -> 1.0).toMap
+    var auth = hub
+    for (_ <- 1 to 10) {
+      val araw = dirEdges.groupBy(_._2).map { case (v, es) => v -> es.map(e => hub(e._1)).sum }
+      val amax = araw.values.max
+      auth = allV.map(v => v -> araw.get(v).map(_ / amax).getOrElse(0.0)).toMap
+      val hraw = dirEdges.groupBy(_._1).map { case (v, es) => v -> es.map(e => auth(e._2)).sum }
+      val hmax = hraw.values.max
+      hub = allV.map(v => v -> hraw.get(v).map(_ / hmax).getOrElse(0.0)).toMap
+    }
+    val got = graft.algo.Hits.run(GraphFixture.graph.edges, GraphFixture.graph.vertices, 10)
+      .scores.collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == allV.toSet)
+    val maxDiff = allV.map(v =>
+      math.max(math.abs(got(v)._1 - hub(v)), math.abs(got(v)._2 - auth(v)))).max
+    assert(maxDiff < 1e-9, s"max |engine-oracle| = $maxDiff")
+    // direction sanity on the conv→tool bipartite core: scores are in [0,1]
+    // with at least one 1.0 on each side (the max-normalized champion)
+    assert(got.values.forall { case (h, a) => h >= 0.0 && h <= 1.0 && a >= 0.0 && a <= 1.0 })
+    assert(got.values.exists(_._1 == 1.0) && got.values.exists(_._2 == 1.0))
+  }
+
+  // ---- landmark distances + closeness ----
+
+  /** Per-landmark driver BFS: (vid, lm) -> hop dist, discovered pairs only. */
+  private def landmarkOracle(srcs: Set[Long]): Map[(Long, Long), Long] = {
+    val out = mutable.Map[(Long, Long), Long]()
+    for (lm <- srcs) {
+      val dist = mutable.Map[Long, Long](lm -> 0L)
+      var frontier = Set(lm)
+      var d = 0L
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Nil)).filterNot(dist.contains)
+        frontier.foreach(v => dist(v) = d)
+      }
+      dist.foreach { case (v, dd) => out((v, lm)) = dd }
+    }
+    out.toMap
+  }
+
+  test("landmarkDistances: per-landmark map equals independent driver BFS runs") {
+    val res = ShortestPaths.landmarkDistances(
+      GraphFixture.graph.edges, GraphFixture.graph.vertices,
+      GraphFixture.graph.vertices
+        .where(col("kind") === "tool" && pmod(col("vid"), lit(7L)) === 0L).select("vid"))
+    val got = res.distances.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val exp = landmarkOracle(landmarkIds)
+    assert(got == exp)
+    // and the min over landmarks reproduces the multi-source BFS
+    val minGot = got.groupBy(_._1._1).map { case (v, m) => v -> m.values.min }
+    val msBfs = bfsOracle(landmarkIds).filter(_._2 >= 0L)
+    assert(minGot == msBfs)
+  }
+
+  test("harmonicCloseness: sum of 1/dist over reachable landmarks") {
+    val res = ShortestPaths.landmarkDistances(
+      GraphFixture.graph.edges, GraphFixture.graph.vertices,
+      GraphFixture.graph.vertices
+        .where(col("kind") === "tool" && pmod(col("vid"), lit(7L)) === 0L).select("vid"))
+    val got = ShortestPaths.harmonicCloseness(res.distances).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val exp = landmarkOracle(landmarkIds).groupBy(_._1._1).map { case (v, m) =>
+      v -> ((m.size.toLong, m.values.filter(_ > 0L).map(1.0 / _).sum))
+    }
+    assert(got.keySet == exp.keySet)
+    for ((v, (n, h)) <- got) {
+      assert(n == exp(v)._1, s"v=$v n_reach")
+      assert(math.abs(h - exp(v)._2) < 1e-9, s"v=$v harmonic $h vs ${exp(v)._2}")
+    }
+  }
+
+  // ---- assortativity ----
+
+  test("assortativity equals the driver-side Pearson over sym degree pairs") {
+    val deg = adj.map { case (k, v) => k -> v.size.toLong }
+    val pairs = GraphFixture.edgeList.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .map { case (a, b) => (deg(a), deg(b)) }
+    val m = pairs.size.toLong
+    val sx = pairs.map(_._1).sum; val sy = pairs.map(_._2).sum
+    val sxx = pairs.map(p => p._1 * p._1).sum
+    val syy = pairs.map(p => p._2 * p._2).sum
+    val sxy = pairs.map(p => p._1 * p._2).sum
+    val exp = (m * sxy - sx * sy).toDouble /
+      (math.sqrt((m * sxx - sx * sx).toDouble) * math.sqrt((m * syy - sy * sy).toDouble))
+    val row = GraphOps.assortativity(GraphFixture.graph.edges).head()
+    assert(row.getLong(0) == m)
+    assert(math.abs(row.getDouble(1) - exp) < 1e-6)
+    // a conv-tool bipartite-ish graph should be disassortative (hubs↔leaves)
+    assert(row.getDouble(1) < 0.5)
+  }
+
   // ---- tf-idf ----
 
   test("tfidf: score = tf * ln(N/df), top-k per doc with deterministic ties") {

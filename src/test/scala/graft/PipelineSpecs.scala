@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.sim.Similarity
-import graft.text.TextStats
+import graft.text.{CorpusOps, TextStats}
 
 /** Specs for the training-data pipeline operators (dedup / similarity / text):
   * exactness vs brute-force where the op is exact, recall vs the exact
@@ -281,5 +281,50 @@ class TextStatsSpec extends SparkTestBase {
     val b = TextStats.fingerprints(docs).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(a.toSeq == b.toSeq)
     assert(a.map(_._3).distinct.length == a.length)
+  }
+
+  test("repetition: 1 - distinct/total, 0 for empty") {
+    val reps = Seq(
+      (10L, "spam spam spam spam"),          // 4 tokens, 1 distinct → 0.75
+      (11L, "all words fully distinct here"), // 5/5 → 0.0
+      (12L, "!!! ???")).toDF("doc_id", "text") // no tokens → 0.0
+    val got = TextStats.repetition(reps).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    assert(got(10L) == ((4, 1, 0.75)))
+    assert(got(11L) == ((5, 5, 0.0)))
+    assert(got(12L) == ((0, 0, 0.0)))
+  }
+
+  test("stratifiedSample: deterministic, threshold-faithful, keeps all of the 1.0 stratum") {
+    val a = CorpusOps.stratifiedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = CorpusOps.stratifiedSample(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b, "sample must be replay-stable")
+    val thresholds = CorpusOps.strataThresholds.toMap
+    assert(a.forall { case (_, stratum, draw) =>
+      draw >= 0L && draw < graft.functions.PortableHash.P && draw < thresholds(stratum) })
+    // stratum rate 1.0 (en) can never drop a doc
+    val langs = TextStats.langId(docs).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val enDocs = langs.collect { case (id, "en") => id }.toSet
+    assert(enDocs.subsetOf(a.map(_._1).toSet))
+    // strata labels agree with langId
+    assert(a.forall { case (id, stratum, _) => langs(id) == stratum })
+  }
+
+  test("contamination: planted 8-gram overlap is counted, clean docs read 0") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // eval (0 % 97 = 0)
+      (1L, "alpha beta gamma delta epsilon zeta eta theta different tail here"),
+      (2L, "completely other words that never overlap with the benchmark text at all"),
+      (3L, "too short to shingle")).toDF("doc_id", "text")
+    val got = CorpusOps.contamination(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 1: 11 tokens → 4 shingles; exactly the first matches the eval doc
+    assert(got(1L) == ((4L, 1L, 0.25)))
+    // doc 2: 12 tokens → 5 shingles, zero overlap
+    assert(got(2L) == ((5L, 0L, 0.0)))
+    // eval docs and sub-8-token docs are absent
+    assert(!got.contains(0L) && !got.contains(3L))
   }
 }
