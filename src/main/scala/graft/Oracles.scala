@@ -186,6 +186,35 @@ object Oracles {
         $iters"""
   }
 
+  /** Weighted PageRank chain ([[graft.algo.PageRank.runWeighted]]): k
+    * rounds of r ← p·r + (1−p)·Σ (r_u/wdeg(u))·w_uv over the symmetric
+    * WEIGHTED edges — contribution computed vertex-side (r/wdeg) and
+    * multiplied by w inside the per-dst sum, the identical op order as the
+    * engine. */
+  def weightedPagerankChain(k: Int): String = {
+    val iters = (1 to k).map { i =>
+      s"""wr$i AS MATERIALIZED (
+        SELECT r.vid,
+               CAST(0.15 AS DOUBLE) * r.pr + CAST(0.85 AS DOUBLE) * COALESCE(m.s, CAST(0 AS DOUBLE)) AS pr,
+               r.wdeg
+        FROM wr${i - 1} r
+        LEFT JOIN (
+          SELECT s.dst AS vid, SUM((r2.pr / r2.wdeg) * s.weight) AS s
+          FROM symw s JOIN wr${i - 1} r2 ON r2.vid = s.src
+          GROUP BY s.dst
+        ) m ON m.vid = r.vid
+      )"""
+    }.mkString(", ")
+    s"""symw AS MATERIALIZED (
+          SELECT src, dst, weight FROM edges
+          UNION ALL SELECT dst, src, weight FROM edges),
+        wdeg AS MATERIALIZED (
+          SELECT src, CAST(SUM(weight) AS DOUBLE) AS d FROM symw GROUP BY src),
+        wr0 AS MATERIALIZED (
+          SELECT src AS vid, CAST(1.0 AS DOUBLE) AS pr, d AS wdeg FROM wdeg),
+        $iters"""
+  }
+
   /** HITS chain ([[graft.algo.Hits.run]]): k rounds of the mutual
     * recursion over the DIRECTED canonical edges, max-normalized each
     * half-step (max is float-order-independent — the reason the engine
@@ -416,6 +445,11 @@ object Oracles {
        deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM sym GROUP BY src)
        SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
        FROM deg GROUP BY degree ORDER BY degree"""
+
+  /** Fixed-10-round weighted PageRank replay — static. */
+  val qPagerankWeighted: String =
+    s"""WITH $graphCtes, ${weightedPagerankChain(10)}
+       SELECT vid, ROUND(pr, 6) AS pr FROM wr10 ORDER BY vid"""
 
   /** Fixed-10-round HITS replay — static (iteration count is not
     * data-dependent, unlike the tolerance chains). */

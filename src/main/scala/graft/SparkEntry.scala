@@ -84,6 +84,11 @@ object SparkEntry {
       r.ranks.select(col("vid"), round(col("pr"), 6).as("pr")).orderBy("vid")
     }),
 
+    "q_pagerank_weighted" -> ((s, d) => // weight-proportional transition mass
+      PageRank.runWeighted(graph(s, d).edges, iterations = 10)
+        .select(col("vid"), round(col("pr"), 6).as("pr"))
+        .orderBy("vid")),
+
     "q_ppr" -> ((s, d) => { // personalized PageRank / random-walk-with-restart
       val g = graph(s, d)
       val sources = g.vertices
@@ -497,6 +502,7 @@ object SparkEntry {
     "q_pagerank" -> Oracles.qPagerank,
     "q_checkpoint" -> Oracles.qPagerank, // restored state == 10-step chain
     "q_pagerank_cs" -> Oracles.qPagerankCs,
+    "q_pagerank_weighted" -> Oracles.qPagerankWeighted,
     "q_cc" -> Oracles.qCc,
     "q_cc_minprop" -> Oracles.qCc,
     "q_lpa" -> Oracles.qLpa,

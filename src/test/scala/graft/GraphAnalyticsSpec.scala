@@ -239,6 +239,27 @@ class GraphAnalyticsSpec extends SparkTestBase {
     assert(got.values.exists(_._1 == 1.0) && got.values.exists(_._2 == 1.0))
   }
 
+  // ---- weighted PageRank ----
+
+  test("runWeighted matches a driver-side weight-proportional power iteration") {
+    val wdeg = wadj.map { case (v, nbrs) => v -> nbrs.map(_._2).sum.toDouble }
+    var pr = wadj.keys.map(_ -> 1.0).toMap
+    for (_ <- 1 to 10) {
+      val msum = mutable.Map[Long, Double]().withDefaultValue(0.0)
+      for ((u, nbrs) <- wadj; (v, w) <- nbrs) msum(v) += (pr(u) / wdeg(u)) * w
+      pr = pr.map { case (v, r) => v -> (0.15 * r + 0.85 * msum(v)) }
+    }
+    val got = graft.algo.PageRank.runWeighted(GraphFixture.graph.edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == pr.keySet)
+    val maxDiff = pr.keys.map(v => math.abs(got(v) - pr(v))).max
+    assert(maxDiff < 1e-9, s"max |engine-oracle| = $maxDiff")
+    // weights matter: the weighted ranks must differ from the unweighted run
+    val unw = graft.algo.PageRank.runFixed(GraphFixture.graph.edges, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.keys.exists(v => math.abs(got(v) - unw(v)) > 1e-6))
+  }
+
   // ---- landmark distances + closeness ----
 
   /** Per-landmark driver BFS: (vid, lm) -> hop dist, discovered pairs only. */
