@@ -293,6 +293,29 @@ object Oracles {
        SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
        FROM transcripts ORDER BY conv_id, turn_idx"""
 
+  /** Sessionization replay ([[graft.derive.Sessionize.sessionStats]]): lag
+    * gap flag → running-sum session index → per-session aggregate, gap
+    * literal taken from the engine's own constant. */
+  val qSessions: String = {
+    val gapUs = graft.derive.Sessionize.defaultGapSeconds * 1000000L
+    s"""WITH $graphCtes, sturns AS MATERIALIZED (
+         SELECT conv_id, turn_idx, tool, epoch_us(ts) AS ts_us,
+                CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) > $gapUs
+                     THEN 1 ELSE 0 END AS newf
+         FROM transcripts
+       ), sidx AS MATERIALIZED (
+         SELECT conv_id, tool, ts_us,
+                SUM(newf) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         FROM sturns
+       )
+       SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
+              CAST(COUNT(*) AS BIGINT) AS n_turns,
+              MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+              CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
+       FROM sidx GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
+  }
+
   val qVertices: String =
     s"WITH $graphCtes SELECT vid, key, kind FROM vertices ORDER BY vid"
 

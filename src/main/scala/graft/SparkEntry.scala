@@ -48,6 +48,10 @@ object SparkEntry {
           unix_micros(col("ts").cast("timestamp")).as("ts_us"))
         .orderBy("conv_id", "turn_idx")),
 
+    "q_sessions" -> ((s, d) => // gap-based transcript sessionization (1-day gap)
+      graft.derive.Sessionize.sessionStats(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("conv_id", "session_idx")),
+
     "q_vertices" -> ((s, d) => graph(s, d).vertices.orderBy("vid")),
 
     "q_edges" -> ((s, d) => graph(s, d).edges.orderBy("src", "dst")),
@@ -493,6 +497,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" -> Oracles.qTranscripts,
+    "q_sessions" -> Oracles.qSessions,
     "q_vertices" -> Oracles.qVertices,
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,

@@ -49,6 +49,85 @@ object TranscriptStream {
       .groupBy(col("conv_id"), col("tool"))
       .agg(count(lit(1)).as("weight"))
 
+  // ---- sessionization (streaming analog of graft.derive.Sessionize) ----
+
+  // `ts` carries the watermarked event-time column through to the stateful
+  // operator (Spark requires it to survive into the flatMapGroupsWithState
+  // input); ts_us is the same instant as a plain long for arithmetic.
+  final case class Turn(conv_id: String, turn_idx: Int, tool: String, ts_us: Long,
+      ts: java.sql.Timestamp)
+  final case class SessionAgg(
+      sessionIdx: Long, startUs: Long, lastUs: Long, nTurns: Long, tools: Seq[String])
+  final case class SessionRow(conv_id: String, session_idx: Long, n_turns: Long,
+      start_us: Long, end_us: Long, n_tools: Long)
+
+  /** Continuous gap-based sessionization via `flatMapGroupsWithState` with
+    * an EVENT-TIME timeout: a session row is emitted when the next turn
+    * arrives past the gap (close-by-gap) or when the watermark passes
+    * last-turn + gap (close-by-timeout — the session that never sees
+    * another turn). Emitted rows equal [[graft.derive.Sessionize
+    * .sessionStats]] over the same turns for every CLOSED session
+    * (spec-asserted). State per conversation is ONE SessionAgg (the open
+    * session only — closed sessions leave state immediately), so state size
+    * is O(active conversations), independent of history length — the shape
+    * that survives 10¹² turns.
+    *
+    * Late-filter boundary (measured): with EventTimeTimeout, input rows with
+    * event time `<=` the current watermark are dropped — inclusive, so a row
+    * at exactly the watermark (e.g. epoch 0 against the initial watermark 0)
+    * silently disappears. Session equality with the batch derivation holds
+    * for turns that arrive strictly inside the allowed lateness. */
+  def sessionStatsStream(
+      stream: DataFrame,
+      gapSeconds: Long = 86400L,
+      watermark: String = "2 hours"): org.apache.spark.sql.Dataset[SessionRow] = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapSeconds * 1000000L
+    stream.withWatermark("ts", watermark)
+      .select(col("conv_id"), col("turn_idx"), col("tool"),
+        unix_micros(col("ts")).as("ts_us"), col("ts"))
+      .as[Turn]
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState[SessionAgg, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (conv: String, rows: Iterator[Turn], state: GroupState[SessionAgg]) =>
+          def close(s: SessionAgg): SessionRow = SessionRow(
+            conv, s.sessionIdx, s.nTurns, s.startUs, s.lastUs, s.tools.distinct.size.toLong)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).toList
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = rows.toList.sortBy(t => (t.ts_us, t.turn_idx))
+            var cur = state.getOption
+            val closed = List.newBuilder[SessionRow]
+            for (t <- sorted) {
+              val toolSeq = if (t.tool == null) Nil else Seq(t.tool)
+              cur = cur match {
+                case Some(s) if t.ts_us - s.lastUs <= gapUs =>
+                  // min/max bounds keep the merge correct when a batch
+                  // boundary delivers an in-gap turn out of event-time order
+                  Some(s.copy(startUs = math.min(s.startUs, t.ts_us),
+                    lastUs = math.max(s.lastUs, t.ts_us), nTurns = s.nTurns + 1,
+                    tools = s.tools ++ toolSeq))
+                case Some(s) =>
+                  closed += close(s)
+                  Some(SessionAgg(s.sessionIdx + 1, t.ts_us, t.ts_us, 1L, toolSeq))
+                case None =>
+                  Some(SessionAgg(0L, t.ts_us, t.ts_us, 1L, toolSeq))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastUs / 1000L + gapSeconds * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** End-to-end continuous edge maintenance: watermarked turn dedup (append
     * mode — each unique (conv_id, turn_idx) is emitted exactly once) →
     * `foreachBatch` merge into the canonical conv↔tool edge table through

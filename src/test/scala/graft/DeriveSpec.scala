@@ -74,4 +74,27 @@ class DeriveSpec extends SparkTestBase {
     // Zipf-ish: the most popular tool should dominate the least popular
     assert(toolCounts.values.max > 3 * toolCounts.values.min)
   }
+
+  test("sessionize: gap splits 0-based sessions; stats count turns, span, distinct tools") {
+    import java.sql.Timestamp
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val t = Seq(
+      ("a", 0, "user", "x", "search", ts(0)),
+      ("a", 1, "assistant", "x", null, ts(10)),
+      ("a", 2, "user", "x", "search", ts(10 + 1441)), // > 1-day gap → session 1
+      ("a", 3, "tool", "x", "code", ts(10 + 1442)),
+      ("b", 0, "user", "x", null, ts(5)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = graft.derive.Sessionize.sessionStats(t).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got(("a", 0L)) == ((2L, 0L, 10L * 60000000L, 1L)))
+    assert(got(("a", 1L)) == ((2L, 1451L * 60000000L, 1452L * 60000000L, 2L)))
+    assert(got(("b", 0L)) == ((1L, 5L * 60000000L, 5L * 60000000L, 0L)))
+    assert(got.size == 3)
+    // exactly-1-day gap does NOT split (> not >=)
+    val edge = Seq(("c", 0, "user", "x", null, ts(0)), ("c", 1, "user", "x", null, ts(1440)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    assert(graft.derive.Sessionize.sessionStats(edge).count() == 1L)
+  }
 }

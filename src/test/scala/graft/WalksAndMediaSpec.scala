@@ -335,6 +335,50 @@ class StreamingSpec extends SparkTestBase {
     assert(edges == expPlus)
   }
 
+  test("streaming sessionization equals the batch derivation on closed sessions") {
+    import java.sql.Timestamp
+    import graft.streaming.TranscriptStream
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-se").toString
+    // +1 day offset: a turn at exactly epoch 0 ties the initial watermark (0)
+    // and the event-time-timeout late filter drops it (boundary is inclusive)
+    def ts(min: Long) = new Timestamp((1440L + min) * 60000L)
+    def row(c: String, i: Int, tool: String, m: Long) = (c, i, "user", "x", tool, ts(m))
+    // gap = 10 min: conv a splits at the 25-min jump; conv b is a singleton
+    val turns = Seq(
+      row("a", 0, "search", 0), row("a", 1, null, 5),
+      row("a", 2, "code", 30), row("a", 3, "search", 35),
+      row("b", 0, null, 2))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    // single part-file so the file source cannot split the real turns across
+    // micro-batches (a split would advance the watermark between them and
+    // late-drop the earliest turn — observed flake)
+    turns.coalesce(1).write.mode("overwrite").parquet(dir)
+
+    val q = TranscriptStream.sessionStatsStream(
+        TranscriptStream.readTranscripts(spark, dir), gapSeconds = 600L,
+        watermark = "1 minute")
+      .writeStream.outputMode("append").format("memory").queryName("se").start()
+    // batch 1: all real turns at watermark 0 — only the close-by-gap session
+    // (a/0, closed when the 30-min turn arrives) can be emitted
+    q.processAllAvailable()
+    // a far-future sentinel advances the watermark past every open session's
+    // last-turn + gap, so the remaining sessions close by event-time timeout
+    Seq(row("zz", 0, null, 20000L))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+
+    val got = spark.sql("SELECT * FROM se")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val exp = graft.derive.Sessionize.sessionStats(turns, gapSeconds = 600L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(exp.size == 3, s"fixture must yield 3 batch sessions, got $exp")
+    assert(got == exp, s"streaming closed sessions $got != batch $exp")
+  }
+
   test("edgeMergeSink restart from checkpoint: no duplicate deltas, view equals batch derivation") {
     import graft.streaming.TranscriptStream
     import graft.sources.ParquetDirTableIO
