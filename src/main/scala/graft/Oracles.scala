@@ -293,28 +293,93 @@ object Oracles {
        SELECT conv_id, turn_idx, role, text, tool, epoch_us(ts) AS ts_us
        FROM transcripts ORDER BY conv_id, turn_idx"""
 
-  /** Sessionization replay ([[graft.derive.Sessionize.sessionStats]]): lag
-    * gap flag → running-sum session index → per-session aggregate, gap
-    * literal taken from the engine's own constant. */
-  val qSessions: String = {
+  /** Session-index CTE scaffold shared by the sessionization-family oracles
+    * ([[graft.derive.Sessionize]]): lag gap flag → running-sum 0-based
+    * session index per turn, gap literal taken from the engine's constant. */
+  private val sessionCtes: String = {
     val gapUs = graft.derive.Sessionize.defaultGapSeconds * 1000000L
-    s"""WITH $graphCtes, sturns AS MATERIALIZED (
-         SELECT conv_id, turn_idx, tool, epoch_us(ts) AS ts_us,
+    s"""sturns AS MATERIALIZED (
+         SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) IS NULL
                        OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) > $gapUs
                      THEN 1 ELSE 0 END AS newf
          FROM transcripts
        ), sidx AS MATERIALIZED (
-         SELECT conv_id, tool, ts_us,
+         SELECT conv_id, role, tool, ts_us,
                 SUM(newf) OVER (PARTITION BY conv_id ORDER BY turn_idx ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
          FROM sturns
-       )
+       )"""
+  }
+
+  /** Sessionization replay ([[graft.derive.Sessionize.sessionStats]]). */
+  val qSessions: String =
+    s"""WITH $graphCtes, $sessionCtes
        SELECT conv_id, CAST(session_idx AS BIGINT) AS session_idx,
               CAST(COUNT(*) AS BIGINT) AS n_turns,
               MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
               CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools
        FROM sidx GROUP BY conv_id, session_idx ORDER BY conv_id, session_idx"""
-  }
+
+  /** Role-transition counts ([[graft.derive.TranscriptAnalytics
+    * .roleTransitions]]): lag over turn order, global (prev, cur) counts. */
+  val qRoleTransitions: String =
+    s"""WITH $graphCtes, rr AS MATERIALIZED (
+         SELECT role, lag(role) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_role
+         FROM transcripts
+       )
+       SELECT prev_role, role, CAST(COUNT(*) AS BIGINT) AS n
+       FROM rr WHERE prev_role IS NOT NULL
+       GROUP BY prev_role, role ORDER BY prev_role, role"""
+
+  /** Directed tool bigrams ([[graft.derive.TranscriptAnalytics.toolBigrams]]):
+    * tool-less turns dropped BEFORE the lag, so bigrams span them. */
+  val qToolBigrams: String =
+    s"""WITH $graphCtes, tb AS MATERIALIZED (
+         SELECT tool, lag(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_tool
+         FROM transcripts WHERE tool IS NOT NULL
+       )
+       SELECT prev_tool, tool, CAST(COUNT(*) AS BIGINT) AS n
+       FROM tb WHERE prev_tool IS NOT NULL
+       GROUP BY prev_tool, tool ORDER BY prev_tool, tool"""
+
+  /** Inter-turn gap stats ([[graft.derive.TranscriptAnalytics.latencyStats]]):
+    * exact integer sums; avg emitted as ONE double division of exact ints so
+    * the engines agree bit-for-bit. */
+  val qLatency: String =
+    s"""WITH $graphCtes, g AS MATERIALIZED (
+         SELECT conv_id,
+                epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS gap_us
+         FROM transcripts
+       )
+       SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+              CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+              CAST(MIN(gap_us) AS BIGINT) AS min_gap_us,
+              CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+              CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) AS avg_gap_us
+       FROM g WHERE gap_us IS NOT NULL GROUP BY conv_id ORDER BY conv_id"""
+
+  /** Session-scoped tool co-occurrence ([[graft.derive.TranscriptAnalytics
+    * .sessionToolPairs]]): distinct (conv, session, tool) self-join, t1<t2. */
+  val qSessionToolPairs: String =
+    s"""WITH $graphCtes, $sessionCtes, stp AS MATERIALIZED (
+         SELECT DISTINCT conv_id, session_idx, tool FROM sidx WHERE tool IS NOT NULL
+       )
+       SELECT a.tool AS t1, b.tool AS t2, CAST(COUNT(*) AS BIGINT) AS weight
+       FROM stp a JOIN stp b
+         ON a.conv_id = b.conv_id AND a.session_idx = b.session_idx AND a.tool < b.tool
+       GROUP BY a.tool, b.tool ORDER BY t1, t2"""
+
+  /** Per-conversation summary ([[graft.derive.TranscriptAnalytics
+    * .convStats]]). */
+  val qConvStats: String =
+    s"""WITH $graphCtes, $sessionCtes
+       SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+              CAST(MAX(session_idx) + 1 AS BIGINT) AS n_sessions,
+              CAST(COUNT(DISTINCT tool) AS BIGINT) AS n_tools,
+              MIN(ts_us) AS first_us, MAX(ts_us) AS last_us,
+              CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+              CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant
+       FROM sidx GROUP BY conv_id ORDER BY conv_id"""
 
   val qVertices: String =
     s"WITH $graphCtes SELECT vid, key, kind FROM vertices ORDER BY vid"

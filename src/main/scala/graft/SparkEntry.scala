@@ -52,6 +52,26 @@ object SparkEntry {
       graft.derive.Sessionize.sessionStats(LinkGraph.transcriptsFromEvents(s, d))
         .orderBy("conv_id", "session_idx")),
 
+    "q_role_transitions" -> ((s, d) => // Markov view of conversation structure
+      graft.derive.TranscriptAnalytics.roleTransitions(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("prev_role", "role")),
+
+    "q_tool_bigrams" -> ((s, d) => // directed tool-transition edges
+      graft.derive.TranscriptAnalytics.toolBigrams(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("prev_tool", "tool")),
+
+    "q_latency" -> ((s, d) => // per-conversation inter-turn gap stats
+      graft.derive.TranscriptAnalytics.latencyStats(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("conv_id")),
+
+    "q_session_tool_pairs" -> ((s, d) => // session-scoped tool co-occurrence
+      graft.derive.TranscriptAnalytics.sessionToolPairs(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("t1", "t2")),
+
+    "q_conv_stats" -> ((s, d) => // per-conversation curation summary
+      graft.derive.TranscriptAnalytics.convStats(LinkGraph.transcriptsFromEvents(s, d))
+        .orderBy("conv_id")),
+
     "q_vertices" -> ((s, d) => graph(s, d).vertices.orderBy("vid")),
 
     "q_edges" -> ((s, d) => graph(s, d).edges.orderBy("src", "dst")),
@@ -498,6 +518,11 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_transcripts" -> Oracles.qTranscripts,
     "q_sessions" -> Oracles.qSessions,
+    "q_role_transitions" -> Oracles.qRoleTransitions,
+    "q_tool_bigrams" -> Oracles.qToolBigrams,
+    "q_latency" -> Oracles.qLatency,
+    "q_session_tool_pairs" -> Oracles.qSessionToolPairs,
+    "q_conv_stats" -> Oracles.qConvStats,
     "q_vertices" -> Oracles.qVertices,
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,

@@ -97,4 +97,46 @@ class DeriveSpec extends SparkTestBase {
       .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
     assert(graft.derive.Sessionize.sessionStats(edge).count() == 1L)
   }
+
+  test("transcript analytics: transitions, bigrams, latency, session pairs, conv stats") {
+    import java.sql.Timestamp
+    import graft.derive.{TranscriptAnalytics => TA}
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    val t = Seq(
+      ("a", 0, "user", "x", "search", ts(0)),
+      ("a", 1, "assistant", "x", null, ts(10)),
+      ("a", 2, "user", "x", "code", ts(20)),
+      ("a", 3, "assistant", "x", "search", ts(1471)), // 1451-min gap → session 1
+      ("b", 0, "user", "x", "code", ts(5)),
+      ("b", 1, "tool", "x", "search", ts(6)))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    val rt = TA.roleTransitions(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(rt == Map(("user", "assistant") -> 2L, ("assistant", "user") -> 1L,
+      ("user", "tool") -> 1L))
+
+    // bigrams span the tool-less a/1 turn; code→search occurs in both convs
+    val tb = TA.toolBigrams(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(tb == Map(("search", "code") -> 1L, ("code", "search") -> 2L))
+
+    val M = 60000000L // one fixture minute in microseconds
+    val lat = TA.latencyStats(t).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(lat("a") == ((3L, 1471L * M, 10L * M, 1451L * M, 1471.0 * M / 3)))
+    assert(lat("b") == ((1L, M, M, M, M.toDouble)))
+
+    // session-scoped: a's session 1 is a singleton tool set → only one pair
+    val sp = TA.sessionToolPairs(t).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(sp == Map(("code", "search") -> 2L))
+
+    val cs = TA.convStats(t).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(6), r.getLong(7)))).toMap
+    assert(cs("a") == ((4L, 2L, 2L, 2L, 2L)))
+    assert(cs("b") == ((2L, 1L, 2L, 1L, 0L)))
+  }
 }
