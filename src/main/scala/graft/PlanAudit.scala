@@ -140,6 +140,22 @@ object PlanAudit {
     graft.text.CorpusOps.stratifiedSample(spark.read.parquet(s"$sfDir/documents.parquet"))
       .explain("formatted")
 
+    println("=== Z. sessionization stats (expect ONE Exchange on conv_id feeding Window(lag) + Window(running sum) + partial+final HashAggregate — conv_id partitioning satisfies the (conv_id, session_idx) clustering, no second Exchange) ===")
+    graft.derive.Sessionize.sessionStats(LinkGraph.transcriptsFromEvents(spark, sfDir))
+      .explain("formatted")
+
+    println("=== Z2. session tool pairs (expect the Z shape + distinct and self-join REUSING the conv_id partitioning — the only new Exchange is the tiny (t1,t2) aggregate) ===")
+    graft.derive.TranscriptAnalytics.sessionToolPairs(
+        LinkGraph.transcriptsFromEvents(spark, sfDir))
+      .explain("formatted")
+
+    println("=== Z3. session tool pairs at scale-stats (broadcast off — expect ShuffledHashJoin/SortMergeJoin on (conv_id, session_idx) with a ReusedExchange for the identical self-join side) ===")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    graft.derive.TranscriptAnalytics.sessionToolPairs(
+        LinkGraph.transcriptsFromEvents(spark, sfDir))
+      .explain("formatted")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
     spark.stop()
   }
 }
