@@ -1064,9 +1064,12 @@ object Oracles {
        SELECT a.doc_id, g.canonical_id, g.group_size
        FROM h a JOIN g ON g.h = a.h ORDER BY a.doc_id"""
 
-  val shingleCtes: String =
-    """tk AS MATERIALIZED (
-      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents
+  /** Shingle CTE chain parameterized on the (doc_id, text) relation —
+    * `documents` for the corpus queries, a derived conversation-trajectory
+    * relation for [[qConvNearDup]]. */
+  def shingleCtesFor(docsRel: String): String =
+    s"""tk AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM $docsRel
     ), sh AS MATERIALIZED (
       SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
       FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tk) x
@@ -1077,6 +1080,25 @@ object Oracles {
       FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )"""
+
+  val shingleCtes: String = shingleCtesFor("documents")
+
+  /** Trajectory-level conversation near-dup ([[graft.derive
+    * .TranscriptAnalytics.toolTrajectoryDocs]] → [[graft.dedup.Dedup
+    * .ngramJaccard]]): each conversation becomes one document whose text is
+    * its ordered tool sequence; exact 3-gram Jaccard over those docs. */
+  val qConvNearDup: String =
+    s"""WITH $graphCtes, convdocs AS MATERIALIZED (
+         SELECT conv_id AS doc_id, string_agg(tool, ' ' ORDER BY turn_idx) AS text
+         FROM transcripts GROUP BY conv_id
+       ), ${shingleCtesFor("convdocs")}
+       SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM (
+         SELECT i.doc_a, i.doc_b,
+                CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) AS jaccard
+         FROM inter i
+         JOIN sizes sa ON sa.doc_id = i.doc_a
+         JOIN sizes sb ON sb.doc_id = i.doc_b
+       ) x WHERE jaccard >= CAST(0.35 AS DOUBLE) ORDER BY doc_a, doc_b"""
 
   val qNgramJaccard: String =
     s"""WITH $shingleCtes

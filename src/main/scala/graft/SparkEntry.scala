@@ -72,6 +72,14 @@ object SparkEntry {
       graft.derive.TranscriptAnalytics.convStats(LinkGraph.transcriptsFromEvents(s, d))
         .orderBy("conv_id")),
 
+    "q_conv_near_dup" -> ((s, d) => // trajectory-level conversation near-dup
+      graft.dedup.Dedup.ngramJaccard(
+        graft.derive.TranscriptAnalytics.toolTrajectoryDocs(
+          LinkGraph.transcriptsFromEvents(s, d)),
+        n = 3, minJaccard = 0.35)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
     "q_vertices" -> ((s, d) => graph(s, d).vertices.orderBy("vid")),
 
     "q_edges" -> ((s, d) => graph(s, d).edges.orderBy("src", "dst")),
@@ -523,6 +531,7 @@ object SparkEntry {
     "q_latency" -> Oracles.qLatency,
     "q_session_tool_pairs" -> Oracles.qSessionToolPairs,
     "q_conv_stats" -> Oracles.qConvStats,
+    "q_conv_near_dup" -> Oracles.qConvNearDup,
     "q_vertices" -> Oracles.qVertices,
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,

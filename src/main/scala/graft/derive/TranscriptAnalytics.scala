@@ -94,4 +94,26 @@ object TranscriptAnalytics {
         max("ts_us").as("last_us"),
         sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
         sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"))
+
+  /** Conversation → tool-trajectory document (doc_id = conv_id, text = the
+    * ordered tool/event-type sequence joined with spaces). The bridge from
+    * the transcript axis into the dedup family: feed the result straight
+    * into [[graft.dedup.Dedup.ngramJaccard]] / `minhashLsh` and shingles
+    * become tool n-grams, so "near-duplicate" means near-identical tool-call
+    * trajectories — template sessions, scripted agents, replayed flows.
+    * That is trajectory-level dedup, the conversation analog of document
+    * near-dup (per-turn text here is too short to shingle; the SEQUENCE is
+    * the signal).
+    *
+    * Scale shape: one exchange on conv_id with partial aggregation; the
+    * sort_array over collected (turn_idx, tool) structs is per-conversation
+    * work bounded by conversation length — the same bound every per-conv
+    * window in this file pays — never by corpus size. */
+  def toolTrajectoryDocs(transcripts: DataFrame): DataFrame =
+    transcripts
+      .groupBy(col("conv_id").as("doc_id"))
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("turn_idx"), col("tool")))),
+          s => s.getField("tool")),
+        " ").as("text"))
 }

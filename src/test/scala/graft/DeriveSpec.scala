@@ -139,4 +139,27 @@ class DeriveSpec extends SparkTestBase {
     assert(cs("a") == ((4L, 2L, 2L, 2L, 2L)))
     assert(cs("b") == ((2L, 1L, 2L, 1L, 0L)))
   }
+
+  test("toolTrajectoryDocs: turn-ordered tool text; near-identical trajectories score high") {
+    import java.sql.Timestamp
+    import graft.derive.{TranscriptAnalytics => TA}
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    def conv(id: String, tools: Seq[String]) =
+      tools.zipWithIndex.map { case (tool, i) => (id, i, "user", "x", tool, ts(i)) }
+    val seqA = Seq("search", "code", "test", "commit", "search", "code")
+    val t = (conv("a", seqA) ++ conv("b", seqA :+ "deploy") ++
+      conv("z", Seq("fetch", "parse", "store", "fetch", "parse")))
+      .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      .repartition(4) // order must come from turn_idx, not input order
+    val docs = TA.toolTrajectoryDocs(t).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(docs("a") == seqA.mkString(" "))
+    assert(docs("b") == (seqA :+ "deploy").mkString(" "))
+    assert(docs.size == 3)
+    // a/b share all of a's 4 trigrams; b adds one → jaccard 4/5; z is disjoint
+    val pairs = graft.dedup.Dedup.ngramJaccard(TA.toolTrajectoryDocs(t), n = 3, minJaccard = 0.35)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet == Set(("a", "b")))
+    assert(math.abs(pairs(("a", "b")) - 0.8) < 1e-12)
+  }
 }
