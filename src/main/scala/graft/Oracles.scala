@@ -1100,6 +1100,29 @@ object Oracles {
          JOIN sizes sb ON sb.doc_id = i.doc_b
        ) x WHERE jaccard >= CAST(0.35 AS DOUBLE) ORDER BY doc_a, doc_b"""
 
+  /** Banded scale path for conversation trajectory near-dup: the SAME
+    * MinHash-LSH chain as [[qMinhashLsh]] over the trajectory docs. Recall
+    * vs [[qConvNearDup]] is partial BY DESIGN at this threshold regime —
+    * this fixture has no true near-dup trajectories (max Jaccard ≈ 0.5), so
+    * 16×4 banding recovers only the strongest pairs; in the ≥0.8 template-
+    * session regime the banding is near-exhaustive (same documented-regime
+    * situation as q_embed_dedup_lsh). Verify threshold 0.3 (vs the exact
+    * baseline's 0.35) so the query is non-vacuous at sf0.001, where the
+    * banded candidates top out at j = 0.32. */
+  val qConvNearDupLsh: String =
+    s"""WITH $graphCtes, convdocs AS MATERIALIZED (
+         SELECT conv_id AS doc_id, string_agg(tool, ' ' ORDER BY turn_idx) AS text
+         FROM transcripts GROUP BY conv_id
+       ), ${minhashCandCtesFor("convdocs")}
+       SELECT c.doc_a, c.doc_b,
+              ROUND(CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i), 6) AS jaccard
+       FROM cand c
+       JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+       JOIN sizes sa ON sa.doc_id = c.doc_a
+       JOIN sizes sb ON sb.doc_id = c.doc_b
+       WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.3 AS DOUBLE)
+       ORDER BY c.doc_a, c.doc_b"""
+
   val qNgramJaccard: String =
     s"""WITH $shingleCtes
        SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM (
@@ -1139,7 +1162,7 @@ object Oracles {
   /** Shared MinHash-LSH CTE chain (shingles → fingerprints → 64-min
     * signatures → 16 band hashes → banded candidates) — one definition
     * feeding both the pair query and the clustering replay. */
-  private lazy val minhashCandCtes: String = {
+  private def minhashCandCtesFor(docsRel: String): String = {
     import graft.functions.PortableHash.{P, aCoef, bCoef, md5Pack60Sql}
     val h60 = md5Pack60Sql("shingle")
     val minCols = (0 until 64)
@@ -1148,7 +1171,7 @@ object Oracles {
       val bh = (0 until 4).foldLeft("0")((acc, r) => s"(($acc * 1009 + mh${b * 4 + r}) % $P)")
       s"SELECT doc_id, $b AS band, $bh AS bh FROM mins"
     }.mkString(" UNION ALL ")
-    s"""$shingleCtes, fps AS MATERIALIZED (
+    s"""${shingleCtesFor(docsRel)}, fps AS MATERIALIZED (
          SELECT doc_id, $h60 % $P AS fp FROM sh
        ), mins AS MATERIALIZED (
          SELECT doc_id, $minCols FROM fps GROUP BY doc_id
@@ -1159,6 +1182,8 @@ object Oracles {
          GROUP BY 1, 2
        )"""
   }
+
+  private lazy val minhashCandCtes: String = minhashCandCtesFor("documents")
 
   val qMinhashLsh: String =
     s"""WITH $minhashCandCtes

@@ -156,6 +156,11 @@ object PlanAudit {
       .explain("formatted")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
 
+    println("=== AA. tool-trajectory docs (expect ONE conv_id Exchange into ObjectHashAggregate partial+final collect_list — sort_array/transform/array_join are per-group expressions, no Window, no extra Exchange) ===")
+    graft.derive.TranscriptAnalytics.toolTrajectoryDocs(
+        LinkGraph.transcriptsFromEvents(spark, sfDir))
+      .explain("formatted")
+
     spark.stop()
   }
 }

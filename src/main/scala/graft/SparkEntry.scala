@@ -72,11 +72,19 @@ object SparkEntry {
       graft.derive.TranscriptAnalytics.convStats(LinkGraph.transcriptsFromEvents(s, d))
         .orderBy("conv_id")),
 
-    "q_conv_near_dup" -> ((s, d) => // trajectory-level conversation near-dup
+    "q_conv_near_dup" -> ((s, d) => // trajectory-level conversation near-dup (exact baseline)
       graft.dedup.Dedup.ngramJaccard(
         graft.derive.TranscriptAnalytics.toolTrajectoryDocs(
           LinkGraph.transcriptsFromEvents(s, d)),
         n = 3, minJaccard = 0.35)
+        .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("doc_a", "doc_b")),
+
+    "q_conv_near_dup_lsh" -> ((s, d) => // banded scale path (partial recall at this regime)
+      graft.dedup.Dedup.minhashLsh(
+        graft.derive.TranscriptAnalytics.toolTrajectoryDocs(
+          LinkGraph.transcriptsFromEvents(s, d)),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.3)
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
@@ -532,6 +540,7 @@ object SparkEntry {
     "q_session_tool_pairs" -> Oracles.qSessionToolPairs,
     "q_conv_stats" -> Oracles.qConvStats,
     "q_conv_near_dup" -> Oracles.qConvNearDup,
+    "q_conv_near_dup_lsh" -> Oracles.qConvNearDupLsh,
     "q_vertices" -> Oracles.qVertices,
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,
