@@ -1201,7 +1201,8 @@ object Oracles {
     * synchronous min-canonical propagation rounds (the fixed round count is
     * what makes the flow replayable — convergence-driven CC would need a
     * data-dependent oracle). */
-  val qDedupClusters: String = {
+  private def clustersReplaySqlFor(
+      docsRel: String, threshold: String, extraCtes: String = ""): String = {
     val rounds = (1 to 8).map { k =>
       s"""s$k AS MATERIALIZED (
          SELECT s.doc_id, LEAST(s.canonical, COALESCE(m.mc, s.canonical)) AS canonical
@@ -1211,22 +1212,34 @@ object Oracles {
          ) m ON m.doc_id = s.doc_id
        )"""
     }.mkString(", ")
-    s"""WITH $minhashCandCtes, vpairs AS MATERIALIZED (
+    s"""WITH $extraCtes${minhashCandCtesFor(docsRel)}, vpairs AS MATERIALIZED (
          SELECT c.doc_a, c.doc_b
          FROM cand c
          JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
          JOIN sizes sa ON sa.doc_id = c.doc_a
          JOIN sizes sb ON sb.doc_id = c.doc_b
-         WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST(0.5 AS DOUBLE)
+         WHERE CAST(i.i AS DOUBLE) / (sa.n_sh + sb.n_sh - i.i) >= CAST($threshold AS DOUBLE)
        ), symp AS MATERIALIZED (
          SELECT doc_a AS src, doc_b AS dst FROM vpairs
          UNION ALL
          SELECT doc_b AS src, doc_a AS dst FROM vpairs
        ), s0 AS MATERIALIZED (
-         SELECT doc_id, doc_id AS canonical FROM documents
+         SELECT doc_id, doc_id AS canonical FROM $docsRel
        ), $rounds
        SELECT doc_id, canonical AS canonical_id FROM s8 ORDER BY doc_id"""
   }
+
+  val qDedupClusters: String = clustersReplaySqlFor("documents", "0.5")
+
+  /** Conversation dedup clustering: [[qConvNearDupLsh]]'s verified pair
+    * graph fed through the same 8-round min-canonical propagation replay —
+    * canonical CONVERSATION ids, the end-to-end trajectory-dedup flow. */
+  val qConvClusters: String = clustersReplaySqlFor(
+    "convdocs", "0.3",
+    s"""$graphCtes, convdocs AS MATERIALIZED (
+         SELECT conv_id AS doc_id, string_agg(tool, ' ' ORDER BY turn_idx) AS text
+         FROM transcripts GROUP BY conv_id
+       ), """)
 
   /** SimHash: portable 60-bit token hash, 60 conditional-sum bit votes,
     * 4×15-bit banded Hamming candidate join, popcount filter. */

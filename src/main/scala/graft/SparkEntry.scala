@@ -88,6 +88,13 @@ object SparkEntry {
         .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("doc_a", "doc_b")),
 
+    "q_conv_clusters" -> ((s, d) => // end-to-end conversation dedup: canonical conv ids
+      graft.dedup.Dedup.clusters(
+        graft.derive.TranscriptAnalytics.toolTrajectoryDocs(
+          LinkGraph.transcriptsFromEvents(s, d)),
+        n = 3, numHashes = 64, bands = 16, minJaccard = 0.3)
+        .orderBy("doc_id")),
+
     "q_vertices" -> ((s, d) => graph(s, d).vertices.orderBy("vid")),
 
     "q_edges" -> ((s, d) => graph(s, d).edges.orderBy("src", "dst")),
@@ -541,6 +548,7 @@ object SparkEntry {
     "q_conv_stats" -> Oracles.qConvStats,
     "q_conv_near_dup" -> Oracles.qConvNearDup,
     "q_conv_near_dup_lsh" -> Oracles.qConvNearDupLsh,
+    "q_conv_clusters" -> Oracles.qConvClusters,
     "q_vertices" -> Oracles.qVertices,
     "q_edges" -> Oracles.qEdges,
     "q_degree" -> Oracles.qDegree,
