@@ -37,9 +37,15 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       var sig = signature(e)
+      // scale-adaptive loop partitioning (guide §2.2): the first signature
+      // action materialized `e`, so its row count is known — derive the
+      // star-round exchange width from it instead of the session constant
+      spark.conf.set("spark.sql.shuffle.partitions",
+        graft.core.IterCache.adaptiveParts(spark, sig._1).toString)
       while (!converged && round < maxRounds) {
         round += 1
         val next = smallStar(largeStar(e).localCheckpoint(false)).localCheckpoint(false)
@@ -48,7 +54,10 @@ object ConnectedComponents {
         sig = nextSig
         e = next
       }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
     // Converged state is a forest of stars (src = component min, dst = member).
     val labels = e.select(col("dst").as("vid"), col("src").as("component"))
       .union(e.select(col("src").as("vid"), col("src").as("component")))
@@ -94,9 +103,10 @@ object ConnectedComponents {
 
   /** Pregel min-label flood with frontier semi-join; cross-check for [[run]]. */
   def minPropagation(edges: DataFrame, vertices: DataFrame, maxIter: Int = 50): DataFrame = {
-    val sym = graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
+    val (sym, parts) = graft.core.IterCache.byKeyAdaptive(LinkGraph.symmetrize(edges), "src")
     val init = vertices.select(col("vid"), col("vid").as("component"), lit(true).as("active"))
-    val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
+    val res = graft.core.IterativeRunner.loop(init, maxIter,
+      shuffleParts = Some(parts)) { (state, _) =>
       val msgs = sym
         .join(state.where(col("active")).select(col("vid").as("src"), col("component"))
           .hint("shuffle_hash"), "src")

@@ -36,12 +36,13 @@ object Hits {
   /** @return (vid, hub, auth) for every vertex, after `iterations` rounds. */
   def run(edges: DataFrame, vertices: DataFrame, iterations: Int = 10): Result = {
     val dir = edges.select(col("src"), col("dst"))
-    val bySrc = graft.core.IterCache.byKey(dir, "src")
-    val byDst = graft.core.IterCache.byKey(dir, "dst")
+    val (bySrc, parts) = graft.core.IterCache.byKeyAdaptive(dir, "src")
+    val byDst = graft.core.IterCache.byKeyParts(dir, "dst", parts)
 
     val init = vertices.select(col("vid"), lit(1.0).as("hub"), lit(1.0).as("auth"))
 
-    val res = graft.core.IterativeRunner.loop(init, iterations) { (state, _) =>
+    val res = graft.core.IterativeRunner.loop(init, iterations,
+      shuffleParts = Some(parts)) { (state, _) =>
       val authRaw = bySrc
         .join(state.select(col("vid").as("src"), col("hub")).hint("shuffle_hash"), "src")
         .groupBy(col("dst").as("vid"))

@@ -28,7 +28,7 @@ object KCore {
     *         final all-quiet confirmation round. */
   def run(edges: DataFrame, vertices: DataFrame, k: Long, maxIter: Int = 100): Result = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
-    val sym = graft.core.IterCache.byKey(
+    val (sym, parts) = graft.core.IterCache.byKeyAdaptive(
       LinkGraph.symmetrize(
         edges.select(least(col("src"), col("dst")).as("src"),
             greatest(col("src"), col("dst")).as("dst"))
@@ -44,7 +44,8 @@ object KCore {
         .agg(count(lit(1)).as("deg"))
 
     val init = vertices.select(col("vid"), lit(true).as("alive"), lit(true).as("removed"))
-    val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
+    val res = graft.core.IterativeRunner.loop(init, maxIter,
+      shuffleParts = Some(parts)) { (state, _) =>
       val deg = survivorDegrees(state.where(col("alive")))
       state.join(deg, Seq("vid"), "left").select(
         col("vid"),

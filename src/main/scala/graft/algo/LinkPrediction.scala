@@ -25,21 +25,27 @@ import graft.derive.LinkGraph
   */
 object LinkPrediction {
 
-  /** Canonical loop-free undirected edge set, both directions. */
+  /** Canonical loop-free undirected edge set, both directions, truncated to
+    * a lazy leaf: every scorer references it 2-4× (wedge self-join ×2,
+    * degree aggregate, and in the capped form the center filter) — without
+    * the leaf each reference re-runs the ENTIRE upstream graph derivation
+    * (dictionary build + edge joins + symmetrize + distinct), measured as
+    * the dominant cost of q_adamic_adar / q_jaccard_neighbors (round 6). */
   private def sym(edges: DataFrame): DataFrame =
     LinkGraph.symmetrize(
       edges.select(least(col("src"), col("dst")).as("src"),
           greatest(col("src"), col("dst")).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct())
+      .localCheckpoint(false)
 
-  /** Degree over [[sym]] (distinct-neighbor count). */
-  private def degrees(edges: DataFrame): DataFrame =
-    sym(edges).groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
+  /** Degree over a [[sym]] leaf (distinct-neighbor count). */
+  private def degreesOf(s: DataFrame): DataFrame =
+    s.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
 
-  /** (a, b, z): neighbor pair a < b with common neighbor (wedge center) z. */
-  private def wedges(edges: DataFrame, maxWedgeDegree: Option[Long]): DataFrame = {
-    val s = sym(edges)
+  /** (a, b, z): neighbor pair a < b with common neighbor (wedge center) z,
+    * over a shared [[sym]] leaf. */
+  private def wedgesOf(s: DataFrame, maxWedgeDegree: Option[Long]): DataFrame = {
     val centers = maxWedgeDegree match {
       case None => s
       case Some(cap) =>
@@ -54,15 +60,18 @@ object LinkPrediction {
       .select(col("x.dst").as("a"), col("y.dst").as("b"), col("x.src").as("z"))
   }
 
+  private def commonFrom(wedges: DataFrame, minCommon: Long): DataFrame =
+    wedges
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("common"))
+      .where(col("common") >= minCommon)
+
   /** (a, b, common): number of shared neighbors per candidate pair. */
   def commonNeighbors(
       edges: DataFrame,
       minCommon: Long = 1L,
       maxWedgeDegree: Option[Long] = None): DataFrame =
-    wedges(edges, maxWedgeDegree)
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("common"))
-      .where(col("common") >= minCommon)
+    commonFrom(wedgesOf(sym(edges), maxWedgeDegree), minCommon)
 
   /** (a, b, common, aa): Adamic–Adar score Σ_z 1/ln(deg z) over shared
     * neighbors z (deg z ≥ 2 for any wedge center, so ln is never 0). */
@@ -70,8 +79,9 @@ object LinkPrediction {
       edges: DataFrame,
       minCommon: Long = 1L,
       maxWedgeDegree: Option[Long] = None): DataFrame = {
-    val deg = degrees(edges).select(col("vid").as("z"), col("degree").as("zdeg"))
-    wedges(edges, maxWedgeDegree)
+    val s = sym(edges)
+    val deg = degreesOf(s).select(col("vid").as("z"), col("degree").as("zdeg"))
+    wedgesOf(s, maxWedgeDegree)
       .join(deg.hint("shuffle_hash"), "z")
       .groupBy("a", "b")
       .agg(count(lit(1)).as("common"),
@@ -86,8 +96,9 @@ object LinkPrediction {
       edges: DataFrame,
       minCommon: Long = 1L,
       maxWedgeDegree: Option[Long] = None): DataFrame = {
-    val deg = degrees(edges)
-    commonNeighbors(edges, minCommon, maxWedgeDegree)
+    val s = sym(edges)
+    val deg = degreesOf(s)
+    commonFrom(wedgesOf(s, maxWedgeDegree), minCommon)
       .join(deg.select(col("vid").as("a"), col("degree").as("da")), "a")
       .join(deg.select(col("vid").as("b"), col("degree").as("db")), "b")
       .select(col("a"), col("b"), col("common"),

@@ -56,8 +56,14 @@ object PageRank {
     * cost more than the width saves; see BASELINE.md §c round 2 and
     * IterCache.byKeyPacked.) Every superstep reuses this exchange; only the
     * vertex-sized rank table moves. */
-  private def symCache(edges: DataFrame): DataFrame =
-    graft.core.IterCache.byKey(LinkGraph.symmetrize(edges), "src")
+  /** Round-6: partition count derived from the symmetrized edge count
+    * ([[graft.core.IterCache.adaptiveParts]]) instead of the session
+    * constant — the headline graph still lands on the measured-optimal 32 at
+    * local[32], while fixture-sized graphs stop paying 32-task scheduling
+    * per exchange (guide §2.2). The count is threaded into every loop so all
+    * superstep exchanges co-partition with the cache. */
+  private def symCache(edges: DataFrame): (DataFrame, Int) =
+    graft.core.IterCache.byKeyAdaptive(LinkGraph.symmetrize(edges), "src")
 
   /** Per-vertex degree over the symmetrized edge set, for the init state.
     * With `vertices` supplied, isolated (degree-0) vertices are seeded too —
@@ -83,9 +89,9 @@ object PageRank {
       maxIter: Int = 100,
       checkpointer: Option[Checkpointer] = None,
       vertices: Option[DataFrame] = None): Result = {
-    val sym = symCache(edges)
+    val (sym, parts) = symCache(edges)
     val res = IterativeRunner.loop(initState(sym, vertices), maxIter,
-      checkpointer = checkpointer) {
+      checkpointer = checkpointer, shuffleParts = Some(parts)) {
       (state, _) => step(sym, state, resetProb, tol)
     } { next => next.where(col("active")).count() }
     sym.unpersist(false)
@@ -127,7 +133,7 @@ object PageRank {
       freezeFactor: Double = 0.01,
       checkpointer: Option[Checkpointer] = None,
       broadcastTail: Option[Long] = None): Result = {
-    val sym = symCache(edges)
+    val (sym, parts) = symCache(edges)
     val freezeTol = tol * freezeFactor
     // state: (vid, pr, deg, sent = last contribution actually sent,
     //         msum = maintained incoming sum, active = in the frontier,
@@ -149,7 +155,8 @@ object PageRank {
     val frontierSizes = Vector.newBuilder[Long]
     // last observed frontier size, for the broadcast-tail switch (below)
     var lastFrontier = Long.MaxValue
-    val res = IterativeRunner.loop(init, maxIter, checkpointer = checkpointer) { (state, _) =>
+    val res = IterativeRunner.loop(init, maxIter, checkpointer = checkpointer,
+      shuffleParts = Some(parts)) { (state, _) =>
       // the active frontier publishes the CHANGE in its contribution
       // (iteration 1: everyone is active with sent=0 → full sums establish
       // msum, identically to the exact first superstep)
@@ -233,14 +240,14 @@ object PageRank {
       edges: DataFrame,
       iterations: Int,
       resetProb: Double = 0.15): DataFrame = {
-    val symw = graft.core.IterCache.byKey(
+    val (symw, parts) = graft.core.IterCache.byKeyAdaptive(
       edges.select(col("src"), col("dst"), col("weight"))
         .union(edges.select(col("dst").as("src"), col("src").as("dst"), col("weight"))),
       "src")
     val init = symw.groupBy(col("src").as("vid"))
       .agg(sum(col("weight")).cast("double").as("wdeg"))
       .select(col("vid"), lit(1.0).as("pr"), col("wdeg"))
-    val res = IterativeRunner.loop(init, iterations) { (state, _) =>
+    val res = IterativeRunner.loop(init, iterations, shuffleParts = Some(parts)) { (state, _) =>
       val msgs = symw
         .join(state.select(col("vid").as("src"), (col("pr") / col("wdeg")).as("contrib"))
           .hint("shuffle_hash"), "src")
@@ -262,12 +269,12 @@ object PageRank {
       sources: DataFrame,
       iterations: Int,
       resetProb: Double = 0.15): DataFrame = {
-    val sym = symCache(edges)
+    val (sym, parts) = symCache(edges)
     val init = initState(sym, None)
       .join(sources.select(col("vid"), lit(1.0).as("r0")), Seq("vid"), "left")
       .select(col("vid"), coalesce(col("r0"), lit(0.0)).as("r0"),
         coalesce(col("r0"), lit(0.0)).as("pr"), col("deg"))
-    val res = IterativeRunner.loop(init, iterations) { (state, _) =>
+    val res = IterativeRunner.loop(init, iterations, shuffleParts = Some(parts)) { (state, _) =>
       state
         .join(messageSums(sym, state).hint("shuffle_hash"), Seq("vid"), "left")
         .select(col("vid"), col("r0"),
@@ -286,9 +293,9 @@ object PageRank {
       resetProb: Double = 0.15,
       vertices: Option[DataFrame] = None,
       checkpointer: Option[Checkpointer] = None): DataFrame = {
-    val sym = symCache(edges)
+    val (sym, parts) = symCache(edges)
     val res = IterativeRunner.loop(initState(sym, vertices), iterations,
-      checkpointer = checkpointer) { (state, _) =>
+      checkpointer = checkpointer, shuffleParts = Some(parts)) { (state, _) =>
       step(sym, state, resetProb, tol = 0.0)
     } { _ => 1L } // no early exit: run exactly `iterations` supersteps
     sym.unpersist(false)

@@ -76,6 +76,20 @@ object SVDPlusPlus {
     val e = ratings.select(col("src"), col("dst"), col("rating").cast("double"))
       .persist()
     val u = e.agg(avg("rating")).head().getDouble(0)
+    // Round 6: the SGD loop is the same superstep grammar as the Pregel
+    // algos — scope its shuffle width to the DATA (the widest intermediate
+    // is the 2-endpoint × rank gradient explode over the edge set) instead
+    // of the session constant, and switch AQE off for the loop like
+    // IterativeRunner (static right-sized plans; AQE's per-stage re-planning
+    // of ~25 mini-queries only costs driver time). e.count() is free: the
+    // mean aggregate above already materialized the persisted edge cache.
+    val loopParts = graft.core.IterCache.adaptiveParts(spark,
+      e.count() * 2L * conf.rank)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
 
     // init: bias = mean incident rating - u, norm = 1/sqrt(deg)  (reference
     // Graph.updateVertexAttr init, SVDPlusPlus.scala:32-38)
@@ -99,7 +113,7 @@ object SVDPlusPlus {
       // Phase 1 (reference sumY, SVDPlusPlus.scala:116-149): each user's
       // implicit profile p2 = p + norm * Σ_{j∈N(u)} y_j
       val sumY = sumArrays(
-        e.join(v.select(col("vid").as("dst"), col("y")), "dst")
+        e.join(v.select(col("vid").as("dst"), col("y")).hint("shuffle_hash"), "dst")
           .select(col("src").as("vid"), col("y").as("arr")),
         conf.rank)
       val users = v.join(sumY, Seq("vid"), "left")
@@ -111,9 +125,9 @@ object SVDPlusPlus {
       // SVDPlusPlus.scala:40-86,153-171): per-edge gradients, merged per vertex
       val t = e
         .join(users.select(col("vid").as("src"), col("p").as("pu"), col("p2"),
-          col("bias").as("bu"), col("norm").as("nu")), "src")
+          col("bias").as("bu"), col("norm").as("nu")).hint("shuffle_hash"), "src")
         .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("y").as("yi"),
-          col("bias").as("bi")), "dst")
+          col("bias").as("bi")).hint("shuffle_hash"), "dst")
         .withColumn("err", col("rating") - predicted(col("p2"), col("qi"), col("bu"), col("bi")))
         .persist()
 
@@ -164,7 +178,7 @@ object SVDPlusPlus {
 
     // final error pass (reference testF, SVDPlusPlus.scala:89-112,175-180)
     val sumY = sumArrays(
-      e.join(v.select(col("vid").as("dst"), col("y")), "dst")
+      e.join(v.select(col("vid").as("dst"), col("y")).hint("shuffle_hash"), "dst")
         .select(col("src").as("vid"), col("y").as("arr")), conf.rank)
     val users = v.join(sumY, Seq("vid"), "left")
       .select(col("vid"),
@@ -172,12 +186,16 @@ object SVDPlusPlus {
           .otherwise(axpy(col("norm"), col("arr"), col("p"))).as("p2"),
         col("bias"))
     val sqErr = e
-      .join(users.select(col("vid").as("src"), col("p2"), col("bias").as("bu")), "src")
-      .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("bias").as("bi")), "dst")
+      .join(users.select(col("vid").as("src"), col("p2"), col("bias").as("bu")).hint("shuffle_hash"), "src")
+      .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("bias").as("bi")).hint("shuffle_hash"), "dst")
       .select(pow(col("rating") - predicted(col("p2"), col("qi"), col("bu"), col("bi")), 2).as("se"))
       .agg(sum("se")).head().getDouble(0)
     val n = e.count()
     e.unpersist(false)
     Result(v, u, sqErr / n)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 }

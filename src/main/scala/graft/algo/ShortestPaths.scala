@@ -38,7 +38,7 @@ object ShortestPaths {
         (if (weighted) col("weight") else lit(1L)).cast("long").as("w"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst"),
         (if (weighted) col("weight") else lit(1L)).cast("long").as("w")))
-    val sym = graft.core.IterCache.byKey(symw, "src")
+    val (sym, parts) = graft.core.IterCache.byKeyAdaptive(symw, "src")
 
     val init = vertices.select(col("vid"))
       .join(sources.select(col("vid"), lit(true).as("is_src")), Seq("vid"), "left")
@@ -46,7 +46,8 @@ object ShortestPaths {
         when(col("is_src"), lit(0L)).otherwise(lit(null).cast("long")).as("dist"),
         coalesce(col("is_src"), lit(false)).as("active"))
 
-    val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
+    val res = graft.core.IterativeRunner.loop(init, maxIter,
+      shuffleParts = Some(parts)) { (state, _) =>
       val msgs = sym
         .join(state.where(col("active")).select(col("vid").as("src"), col("dist"))
           .hint("shuffle_hash"), "src")
@@ -82,13 +83,14 @@ object ShortestPaths {
       vertices: DataFrame,
       sources: DataFrame,
       maxIter: Int = 100): Result = {
-    val sym = graft.core.IterCache.byKey(
+    val (sym, parts) = graft.core.IterCache.byKeyAdaptive(
       graft.derive.LinkGraph.symmetrize(edges.select(col("src"), col("dst"))), "src")
 
     val init = sources.select(col("vid"), col("vid").as("lm"),
       lit(0L).as("dist"), lit(true).as("active"))
 
-    val res = graft.core.IterativeRunner.loop(init, maxIter) { (state, _) =>
+    val res = graft.core.IterativeRunner.loop(init, maxIter,
+      shuffleParts = Some(parts)) { (state, _) =>
       val msgs = sym
         .join(state.where(col("active"))
           .select(col("vid").as("src"), col("lm"), col("dist")).hint("shuffle_hash"), "src")

@@ -2,7 +2,6 @@ package graft.algo
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Exact triangle counting. The reference file is an empty stub
   * (`algo/triangle/TriangleCounting.scala:3-5`); contract = GraphX
@@ -19,13 +18,23 @@ import org.apache.spark.storage.StorageLevel
   */
 object TriangleCount {
 
-  /** Rows (a, b, c): one per triangle (each exactly once). */
-  def triangles(edges: DataFrame): DataFrame = {
-    val e = edges
+  /** Canonical loop-free edge set as a lazy leaf: the triangle pass
+    * references it 3× (degree agg + oriented build reads it twice via the
+    * degree joins) and [[clusteringCoefficient]] adds a 4th — the leaf
+    * materializes the upstream graph derivation once instead of per
+    * reference (round 6; replaces an un-unpersisted MEMORY_AND_DISK persist
+    * that additionally paid CacheManager plan canonicalization per lookup). */
+  private def canon(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
       .where(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
+
+  /** Rows (a, b, c): one per triangle (each exactly once). */
+  def triangles(edges: DataFrame): DataFrame = trianglesOf(canon(edges))
+
+  private def trianglesOf(e: DataFrame): DataFrame = {
     val deg = graft.operators.GraphOps.degrees(e) // (vid, degree)
     val withDeg = e
       .join(deg.select(col("vid").as("src"), col("degree").as("dsrc")), "src")
@@ -43,8 +52,13 @@ object TriangleCount {
   }
 
   /** (vid, triangles) for every vertex in `vertices` (0 when none). */
-  def perVertex(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val tri = triangles(edges)
+  def perVertex(edges: DataFrame, vertices: DataFrame): DataFrame =
+    perVertexOf(triangles(edges), vertices)
+
+  private def perVertexOf(tri0: DataFrame, vertices: DataFrame): DataFrame = {
+    // leaf: the corner union references the triangle table 3× — without it
+    // the whole oriented-join triangle enumeration runs three times
+    val tri = tri0.localCheckpoint(false)
     val corners = tri.select(col("a").as("vid"))
       .union(tri.select(col("b").as("vid")))
       .union(tri.select(col("c").as("vid")))
@@ -62,12 +76,9 @@ object TriangleCount {
     * distinct-neighbor count over the same canonical loop-free edge set the
     * triangle pass dedups to. */
   def clusteringCoefficient(edges: DataFrame, vertices: DataFrame): DataFrame = {
-    val canon = edges
-      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
-      .where(col("src") =!= col("dst"))
-      .distinct()
-    val deg = graft.operators.GraphOps.degrees(canon)
-    perVertex(edges, vertices)
+    val e = canon(edges) // ONE leaf feeds both the triangle pass and degrees
+    val deg = graft.operators.GraphOps.degrees(e)
+    perVertexOf(trianglesOf(e), vertices)
       .join(deg, Seq("vid"), "left")
       .select(col("vid"), col("triangles"),
         coalesce(col("degree"), lit(0L)).as("degree"))

@@ -20,10 +20,54 @@ import org.apache.spark.storage.StorageLevel
   */
 object IterCache {
 
+  /** Rows-per-partition target for [[adaptiveParts]]. 430k reproduces every
+    * partition-count optimum measured in BASELINE.md: the 13.7M-sym-edge
+    * headline graph lands on exactly 32 partitions at local[32] (the measured
+    * optimum — 128 parts were 2× WORSE there, §f), the 337M-edge ScalingBench
+    * graph lands on the 8-tasks-per-core 256 (the §d +16% lever), and the
+    * kilo-edge fixture graphs land on 1 (a 32-task shuffle over ~10³ rows is
+    * pure scheduling overhead — guide §2.2 "fewer, larger reduce
+    * partitions"). */
+  private val targetRowsPerPartition = 430000L
+
+  /** Scale-adaptive partition count for a superstep loop over `rows` rows:
+    * ceil(rows / target) clamped to [1, 8 × defaultParallelism]. Derived from
+    * the DATA, not from the local core constant, so the same code picks 1 on
+    * a laptop fixture and hundreds on a cluster-sized graph (guide §2:
+    * "make partitioning scale-adaptive ... rather than a constant tuned for
+    * either local mode or the cluster"). */
+  def adaptiveParts(spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
+    val cap = math.max(1, spark.sparkContext.defaultParallelism).toLong * 8L
+    val want = (math.max(0L, rows) + targetRowsPerPartition - 1) / targetRowsPerPartition
+    math.max(1L, math.min(cap, want)).toInt
+  }
+
   def byKey(df: DataFrame, key: String): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       .repartition(col(key))
       .persist()
+
+  /** [[byKey]] pinned to an explicit partition count (e.g. a sibling cache's
+    * [[byKeyAdaptive]]-derived count, so two caches of the same loop
+    * co-partition without a second sizing scan). */
+  def byKeyParts(df: DataFrame, key: String, parts: Int): DataFrame =
+    df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+      .repartition(parts, col(key))
+      .persist()
+
+  /** [[byKey]] with a scale-adaptive partition count: the eager DISK_ONLY
+    * leaf is counted (one cheap scan of the just-written checkpoint — ~0.1 s
+    * at 13.7M rows, negligible against any loop that follows) and the hash
+    * repartition uses [[adaptiveParts]] instead of the session constant.
+    * Returns (cached frame, partition count) so the caller can pin the
+    * loop's OTHER exchanges (state shuffles, message aggregates) to the same
+    * count via [[IterativeRunner.loop]]'s `shuffleParts` — mismatched counts
+    * would re-exchange the cached side every superstep. */
+  def byKeyAdaptive(df: DataFrame, key: String): (DataFrame, Int) = {
+    val leaf = df.localCheckpoint(true, StorageLevel.DISK_ONLY)
+    val parts = adaptiveParts(leaf.sparkSession, leaf.count())
+    (leaf.repartition(parts, col(key)).persist(), parts)
+  }
 
   /** [[byKey]] + downcast the given long id columns to int when the observed
     * id space fits in int32. MEASURED NEGATIVE on this workload: the round-2

@@ -40,11 +40,19 @@ object IterativeRunner {
     *                    the driver around iteration 10 — measured, not
     *                    hypothetical).
     */
+  /** @param shuffleParts scale-adaptive shuffle-partition count for every
+    *   exchange inside the loop (state shuffles, message aggregates) —
+    *   normally the count [[IterCache.byKeyAdaptive]] derived for the cached
+    *   edge side, so all loop exchanges co-partition with it and the cached
+    *   exchange is reused every superstep. None keeps the session setting
+    *   (the pre-round-6 behavior: a constant tuned for local[cpus] that
+    *   scheduled 32-task stages over kilo-row fixture graphs — guide §2.2). */
   def loop(
       init: DataFrame,
       maxIter: Int,
       truncateEvery: Int = 10,
-      checkpointer: Option[Checkpointer] = None)(
+      checkpointer: Option[Checkpointer] = None,
+      shuffleParts: Option[Int] = None)(
       step: (DataFrame, Int) => DataFrame)(
       activeCount: DataFrame => Long): Result = {
 
@@ -53,9 +61,14 @@ object IterativeRunner {
     // its partitioning reuse (measured ~2× slower; PLANS.md). Restored after.
     val spark = init.sparkSession
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    shuffleParts.foreach(p => spark.conf.set("spark.sql.shuffle.partitions", p.toString))
     try loopInner(init, maxIter, truncateEvery, checkpointer)(step)(activeCount)
-    finally spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   private def loopInner(

@@ -59,8 +59,23 @@ object Dedup {
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = maxShingleDf match {
       case None =>
-        sh.as("a")
-          .join(sh.as("b"),
+        // The exact self-join emits Σ_s df(s)·(df(s)−1)/2 rows — orders of
+        // magnitude more than its INPUT bytes, so AQE (which sizes
+        // post-shuffle partitions from shuffle bytes) coalesces the whole
+        // join+partial-agg into ONE task (measured 13 s single-threaded on
+        // the sf0.1 trajectory corpus, round 6). The output size is exactly
+        // computable from the df histogram for the cost of one tiny
+        // aggregate, so partition the join side explicitly from it
+        // (guide §1 first-principles + §2.5): work-based, scale-adaptive,
+        // and an explicit repartition AQE will not coalesce away. Both join
+        // sides are the same exchange (ReusedExchange), and the pair
+        // partial-agg now runs in the parallel join stage.
+        val pairRows = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L))).head().getLong(0) / 2L
+        val parts = graft.core.IterCache.adaptiveParts(sh.sparkSession, pairRows)
+        val a = sh.repartition(parts, col("shingle"))
+        a.as("a")
+          .join(a.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
@@ -75,11 +90,7 @@ object Dedup {
           .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .distinct()
         // exact |A∩B| verify over ALL shingles, candidates only
-        candidates
-          .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-          .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
-          .where(col("shingle") === col("s2"))
-          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+        exactInter(candidates, sh, sizes)
     }
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
@@ -105,6 +116,28 @@ object Dedup {
       min(PortableHash.universal(i, col("fp"))).as(s"mh$i"))
     fps.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), array((0 until numHashes).map(i => col(s"mh$i")): _*).as("sig"))
+  }
+
+  /** Exact-Jaccard intersection counts for a verified-candidate pair list:
+    * candidates ⋈ shingles(doc_a) ⋈ shingles(doc_b) on the shared shingle,
+    * counted per pair. The candidate leaf is counted and the verify join
+    * explicitly partitioned by its EXACT output size (Σ_cand |sh(doc_a)|,
+    * one cheap candidates⋈sizes aggregate) — the same AQE byte-blindness
+    * fix as the exact pair join: the verify join's output is row-multiplying
+    * while its inputs are KB-scale, so AQE alone runs it in 1-2 tasks
+    * (round 6). Shared by [[minhashLsh]] and the df-capped [[ngramJaccard]].
+    */
+  private def exactInter(candidates0: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
+    val candidates = candidates0.localCheckpoint(false)
+    val interRows = candidates
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh")), "doc_a")
+      .agg(coalesce(sum(col("n_sh")), lit(0L))).head().getLong(0)
+    val cparts = graft.core.IterCache.adaptiveParts(sh.sparkSession, interRows)
+    candidates.repartition(cparts, col("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
+      .where(col("shingle") === col("s2"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
   }
 
   /** Band hash over signature positions [b·rows, (b+1)·rows): polynomial fold
@@ -138,19 +171,25 @@ object Dedup {
       posexplode(array((0 until bands).map(b => bandHash(b, rows)): _*))
         .as(Seq("band", "bh")))
       .localCheckpoint(false)
-    val candidates = banded.as("a")
-      .join(banded.as("b"),
+    // Same AQE blind spot as the exact shingle join above: bucket-collision
+    // output is Σ_{(band,bh)} c·(c−1)/2 rows — template-heavy corpora put
+    // hundreds of near-identical docs in one bucket, and AQE (sizing by the
+    // KB-scale banded table) runs the whole candidate join in 1-2 tasks.
+    // The output size is exact from the bucket histogram (one tiny
+    // aggregate over the leaf); partition the join side from it.
+    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val bparts = graft.core.IterCache.adaptiveParts(docs.sparkSession, candRows)
+    val bd = banded.repartition(bparts, col("band"), col("bh"))
+    val candidates = bd.as("a")
+      .join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     // verify candidates with exact Jaccard (join back to shingles)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
-      .where(col("shingle") === col("s2"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val inter = exactInter(candidates, sh, sizes)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -209,13 +248,21 @@ object Dedup {
       docs: DataFrame,
       rounds: Int = 8,
       escalate: Boolean = false): (DataFrame, Long) = {
+    val spark = pairs.sparkSession
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(false) // referenced every round
-    // propagate ONLY over docs that appear in a pair: at corpus scale the
-    // dup-involved subset is a small fraction, so per-round state is tiny;
-    // everyone else is a singleton joined back at the end (identical
-    // semantics — a pairless doc never receives a message)
+    // Scope the propagation rounds like IterativeRunner.loop does (round 6):
+    // shuffle partitions derived from the pair-graph size (the sym count
+    // materializes the leaf, which the first round needs anyway) and AQE off
+    // — with right-sized static partitions its per-stage re-planning only
+    // adds driver overhead to the ~9 mini-queries of the round chain.
+    val loopParts = graft.core.IterCache.adaptiveParts(spark, sym.count())
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", loopParts.toString)
+    try {
     var state = sym.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canonical"))
       .localCheckpoint(false)
@@ -246,9 +293,16 @@ object Dedup {
         remaining = probe(state)
       }
     }
+    // `out` is corpus-sized but PLANNED at the caller's action, after the
+    // finally below restored the session settings — so it does not inherit
+    // the loop's tiny partition count
     val out = docs.select(col("doc_id")).join(state.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("canonical"), col("doc_id")).as("canonical_id"))
     (out, unconverged)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
   }
 
   /** 60-bit SimHash signature per doc, token-weighted (each occurrence votes
@@ -258,13 +312,23 @@ object Dedup {
     * posexplode form shuffled 63× the (doc,token) count). */
   def simhashSignatures(docs: DataFrame): DataFrame = {
     import graft.functions.PortableHash
+    // leaf + sizing count: the md5-nibble hash (15 substring/ascii terms)
+    // and the 60 conditional vote sums cost ~75 expression evaluations per
+    // (doc, token) row — AQE, sizing by the small shuffled bytes, coalesced
+    // the whole vote aggregate into ONE task (measured 3.2 s single-threaded
+    // at sf0.1, round 6). Partition by the WORK (rows × 60 vote columns),
+    // not the bytes, via an explicit doc_id repartition the final aggregate
+    // reuses (no extra exchange: doc_id partitioning satisfies the groupBy).
     val toks = docs.select(col("doc_id"), explode(TextStats.tokens).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val vparts = graft.core.IterCache.adaptiveParts(docs.sparkSession, toks.count() * 60L)
+    val voted = toks.repartition(vparts, col("doc_id"))
       .withColumn("h", PortableHash.md5Pack60(col("tok")))
     val votes = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("cnt"))
         .otherwise(-col("cnt"))).as(s"v$j"))
-    toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    voted.groupBy("doc_id").agg(votes.head, votes.tail: _*)
       .select(col("doc_id"),
         (0 until 60).map(j => when(col(s"v$j") > 0, lit(1L << j)).otherwise(0L))
           .reduce(_ + _).as("simhash"))
@@ -281,8 +345,13 @@ object Dedup {
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("band", "bh")))
       .localCheckpoint(false)
-    banded.as("a")
-      .join(banded.as("b"),
+    // bucket-histogram join sizing, same rationale as minhashLsh (round 6)
+    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val bd = banded.repartition(
+      graft.core.IterCache.adaptiveParts(docs.sparkSession, candRows), col("band"), col("bh"))
+    bd.as("a")
+      .join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -41,11 +41,23 @@ object LinkGraph {
     val convTool = t.groupBy("conv_id", "tool").agg(count(lit(1)).as("weight"))
       .localCheckpoint(false)
 
+    // ONE sizing action on the (conv, tool) pair leaf: materializes it (a
+    // lazy checkpoint needs one anyway) and yields the row count that sizes
+    // BOTH the dictionary build's range partitioning (scale-adaptive instead
+    // of the defaultParallelism constant — a 32-partition range exchange +
+    // sampling job over a kilo-row fixture dictionary was pure scheduling
+    // overhead, guide §2.2) and the dict-join strategy below. Replaces the
+    // round-3 dict.count() (the distinct key count): nKeys ≤ 2·nPairs, so
+    // the broadcast cutover reads the upper bound — conservative in the
+    // safe direction.
+    val nPairs = convTool.count()
+    val dictParts = graft.core.IterCache.adaptiveParts(transcripts.sparkSession, 2L * nPairs)
+
     val keys = convTool
       .select(concat(lit("conv:"), col("conv_id")).as("key"))
       .union(convTool.select(concat(lit("tool:"), col("tool")).as("key")))
     val vertices = Dictionary
-      .encode(keys)
+      .encode(keys, dictParts)
       .withColumn("kind", substring(col("key"), 1, 4))
 
     val dict = vertices.select(col("vid"), col("key"))
@@ -55,12 +67,11 @@ object LinkGraph {
     // ScalingBench prep built a 6.1 GiB broadcast (caught in the round-3
     // prep log); at 10^12 turns a full-dict broadcast is impossible. The
     // dict is an RDD leaf (no Catalyst stats), so the strategy is chosen
-    // here: count() is ~free — it doubles as the materializing action the
-    // lazy checkpoint needs anyway — and picks broadcast below 10^6 keys
-    // (≲100 MB), shuffle-hash above (never sort-merge: both sides hash fine
-    // and the sort is pure waste).
+    // here from the sizing count above: broadcast below 10^6 keys (≲100 MB),
+    // shuffle-hash above (never sort-merge: both sides hash fine and the
+    // sort is pure waste).
     val toolDict = dict.where(col("key").startsWith("tool:"))
-    val dictHint = if (dict.count() <= 1000000L) "broadcast" else "shuffle_hash"
+    val dictHint = if (2L * nPairs <= 1000000L) "broadcast" else "shuffle_hash"
 
     val convToolEdges = convTool
       .join(dict.hint(dictHint).as("dv"),
@@ -103,14 +114,22 @@ object LinkGraph {
     // ×2, edge build) would otherwise re-run the upstream join+aggregate
     val agg = pairs.groupBy("akey", "bkey").agg(count(lit(1)).as("weight"))
       .localCheckpoint(false)
+    // same sizing pattern as fromTranscripts: one count on the leaf sizes
+    // the dictionary's range partitioning and picks the dict-join strategy
+    // (both leaves are RDD-backed with no Catalyst stats, so the planner
+    // alone would fall back to sort-merge — sorting the edge side is pure
+    // waste, guide §3.1)
+    val nPairs = agg.count()
+    val dictParts = graft.core.IterCache.adaptiveParts(pairs.sparkSession, 2L * nPairs)
+    val dictHint = if (2L * nPairs <= 1000000L) "broadcast" else "shuffle_hash"
     val keys = agg.select(col("akey").as("key")).union(agg.select(col("bkey").as("key")))
-    val vertices = Dictionary.encode(keys)
+    val vertices = Dictionary.encode(keys, dictParts)
       .withColumn("kind", substring_index(col("key"), ":", 1))
     val dict = vertices.select("vid", "key")
     val edges = agg
-      .join(dict.as("va"), col("akey") === col("va.key"))
+      .join(dict.hint(dictHint).as("va"), col("akey") === col("va.key"))
       .withColumnRenamed("vid", "src").drop("key")
-      .join(dict.as("vb"), col("bkey") === col("vb.key"))
+      .join(dict.hint(dictHint).as("vb"), col("bkey") === col("vb.key"))
       .withColumnRenamed("vid", "dst")
       .select(col("src"), col("dst"), col("weight"))
     GraphTables(vertices, edges)

@@ -42,8 +42,12 @@ object GraphOps {
     * same `maxNeighbors` guard the adjacency ops use) or accept double
     * moments. */
   def assortativity(edges: DataFrame): DataFrame = {
+    // leaf: the symmetrized pair set feeds both the degree aggregate and the
+    // endpoint joins — without it the upstream graph derivation runs twice
+    // (round 6; same rationale as the LinkPrediction sym leaf)
     val sym = LinkGraph.symmetrize(edges.select(col("src"), col("dst")))
-    val deg = degrees(edges)
+      .localCheckpoint(false)
+    val deg = sym.groupBy(col("src").as("vid")).agg(count(lit(1)).as("degree"))
     val pairs = sym
       .join(deg.select(col("vid").as("src"), col("degree").as("dx"))
         .hint("shuffle_hash"), "src")
