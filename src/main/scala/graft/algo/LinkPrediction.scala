@@ -55,7 +55,17 @@ object LinkPrediction {
           .where(col("cdeg") <= cap).select("src")
         s.join(ok, Seq("src"), "left_semi")
     }
-    centers.as("x").join(centers.as("y"),
+    // Wedge-output join sizing (round 6): the self-join emits exactly
+    // Σ_z deg(z)·(deg(z)−1)/2 rows — quadratic in center degree while the
+    // input is adjacency-sized, so AQE (partitioning by input bytes) runs
+    // the whole enumeration in 1-2 tasks. One degree-histogram aggregate
+    // gives the exact output size; partition the (ReusedExchange-shared)
+    // join side from it.
+    val wedgeRows = centers.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(coalesce(sum(col("d") * (col("d") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val cs = centers.repartition(
+      graft.core.IterCache.adaptiveParts(s.sparkSession, wedgeRows), col("src"))
+    cs.as("x").join(cs.as("y"),
         col("x.src") === col("y.src") && col("x.dst") < col("y.dst"))
       .select(col("x.dst").as("a"), col("y.dst").as("b"), col("x.src").as("z"))
   }

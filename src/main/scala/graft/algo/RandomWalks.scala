@@ -82,24 +82,31 @@ object RandomWalks {
       seed: Long = 42L): DataFrame = {
     val idx = neighborIndex(edges).persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
-    val starts = degrees(edges)
-      .crossJoin(spark.range(walksPerVertex).select(col("id").as("rep")))
-      .select(
-        (col("vid") * walksPerVertex + col("rep")).as("walk_id"),
-        col("vid").as("cur"), col("deg").as("cur_deg"),
-        array(col("vid")).as("path"))
-    var walks = starts.localCheckpoint(false)
-    for (step <- 1 until pathLength) {
-      val pick = draw(col("walk_id"), step, col("cur_deg"), seed)
-      val drawn = walks
-        .join(idx, walks("cur") === idx("src") && pick === idx("idx"))
-        .select(col("walk_id"), col("dst").as("cur"), col("dst_deg").as("cur_deg"),
-          concat(col("path"), array(col("dst"))).as("path"))
-      walks = drawn.localCheckpoint(false)
+    // round 6: one count materializes the index cache (the first step would
+    // anyway) and sizes the step-loop conf; start degrees are derived FROM
+    // the cached index (identical rows: count of sym edges per src) instead
+    // of re-deriving the upstream edge table a second time
+    val nIdx = idx.count()
+    graft.core.IterCache.withAdaptiveConf(spark, nIdx) {
+      val starts = idx.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
+        .crossJoin(spark.range(walksPerVertex).select(col("id").as("rep")))
+        .select(
+          (col("vid") * walksPerVertex + col("rep")).as("walk_id"),
+          col("vid").as("cur"), col("deg").as("cur_deg"),
+          array(col("vid")).as("path"))
+      var walks = starts.localCheckpoint(false)
+      for (step <- 1 until pathLength) {
+        val pick = draw(col("walk_id"), step, col("cur_deg"), seed)
+        val drawn = walks
+          .join(idx, walks("cur") === idx("src") && pick === idx("idx"))
+          .select(col("walk_id"), col("dst").as("cur"), col("dst_deg").as("cur_deg"),
+            concat(col("path"), array(col("dst"))).as("path"))
+        walks = drawn.localCheckpoint(false)
+      }
+      walks.count() // materialize the lazy checkpoint chain while idx is cached
+      idx.unpersist(false)
+      walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
     }
-    walks.count() // materialize the lazy checkpoint chain while idx is cached
-    idx.unpersist(false)
-    walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
   }
 
   /** Node2Vec p/q-biased second-order walk via bounded rejection sampling
@@ -124,13 +131,17 @@ object RandomWalks {
       seed: Long = 42L): DataFrame = {
     val top = math.max(1.0, math.max(1.0 / p, 1.0 / q))
     val idx = neighborIndex(edges).persist(StorageLevel.MEMORY_AND_DISK)
-    val nbrSet = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .select(col("src").as("m_src"), col("dst").as("m_dst"), lit(true).as("in_nbr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val spark = edges.sparkSession
+    // round 6: the membership set and the start degrees are PROJECTIONS of
+    // the cached index (same symmetrized rows) — the old code re-derived the
+    // upstream edge table twice more and paid a second cache build; the one
+    // count sizes the step-loop conf and materializes the index
+    val nIdx = idx.count()
+    val nbrSet = idx
+      .select(col("src").as("m_src"), col("dst").as("m_dst"), lit(true).as("in_nbr"))
+    graft.core.IterCache.withAdaptiveConf(spark, nIdx) {
     // step 1: uniform first hop
-    val starts = degrees(edges)
+    val starts = idx.groupBy(col("src").as("vid")).agg(count(lit(1)).as("deg"))
       .crossJoin(spark.range(walksPerVertex).select(col("id").as("rep")))
       .select((col("vid") * walksPerVertex + col("rep")).as("walk_id"),
         col("vid").as("cur"), col("deg").as("cur_deg"), array(col("vid")).as("path"))
@@ -174,8 +185,9 @@ object RandomWalks {
         .localCheckpoint(false)
     }
     walks.count() // materialize the lazy checkpoint chain while caches live
-    idx.unpersist(false); nbrSet.unpersist(false)
+    idx.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
+    }
   }
 
   /** MetaPath2Vec: type-constrained walk (`MetaPath2Vec.scala:151-171`): at
@@ -197,8 +209,12 @@ object RandomWalks {
         row_number().over(Window.partitionBy("src", "kind").orderBy("dst")) - 1)
       .select(col("src"), col("kind"), col("idx"), col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val degK = symK.groupBy("src", "kind").agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // round 6: one count materializes the index cache and sizes the
+    // step-loop conf; the per-(src, kind) degrees come from the cached
+    // index (identical rows) instead of a second symK pass + second cache
+    val nIdx = idx.count()
+    val degK = idx.groupBy("src", "kind").agg(count(lit(1)).as("deg"))
+    graft.core.IterCache.withAdaptiveConf(edges.sparkSession, nIdx) {
     val starts = vertices.where(col("kind") === metaPath.head)
       .select(col("vid").as("walk_id"), col("vid").as("cur"), array(col("vid")).as("path"),
         lit(false).as("stopped"))
@@ -221,7 +237,8 @@ object RandomWalks {
       walks = drawn.localCheckpoint(false)
     }
     walks.count() // materialize the lazy checkpoint chain while caches live
-    idx.unpersist(false); degK.unpersist(false)
+    idx.unpersist(false)
     walks.select(col("walk_id"), element_at(col("path"), 1).as("start"), col("path"))
+    }
   }
 }

@@ -42,6 +42,39 @@ object IterCache {
     math.max(1L, math.min(cap, want)).toInt
   }
 
+  /** Run `body` with loop-shaped session settings: shuffle partitions =
+    * [[adaptiveParts]](rows) and AQE off (static right-sized plans — AQE's
+    * per-stage re-planning only adds driver overhead to a chain of
+    * mini-queries; same rationale as [[IterativeRunner.loop]]), restored
+    * afterwards. For loop-style operators that do not go through
+    * IterativeRunner (random walks, SGD, dedup propagation). NOTE: any
+    * DataFrame RETURNED out of `body` is planned at the caller's action,
+    * under the restored session settings. */
+  def withAdaptiveConf[T](spark: org.apache.spark.sql.SparkSession, rows: Long)(body: => T): T = {
+    val parts = adaptiveParts(spark, rows)
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val partsBefore = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeBefore)
+      spark.conf.set("spark.sql.shuffle.partitions", partsBefore)
+    }
+  }
+
+  /** Hash-repartition `df` by `key` to [[adaptiveParts]](workUnits) ONLY
+    * when its planned parallelism is below that — raises the parallelism of
+    * a wide aggregate over a small under-split input (one parquet split /
+    * a 1-partition leaf runs a 60-column aggregate single-task) WITHOUT
+    * adding a table-sized exchange where the scan is already parallel (at
+    * real scale the input has thousands of splits and the map-side partial
+    * aggregate must keep finishing groups before any exchange — shuffling
+    * the pre-aggregate rows there would cost dim× the bytes). */
+  def widenIfNarrow(df: DataFrame, workUnits: Long, key: String): DataFrame = {
+    val parts = adaptiveParts(df.sparkSession, workUnits)
+    if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, col(key))
+  }
+
   def byKey(df: DataFrame, key: String): DataFrame =
     df.localCheckpoint(true, StorageLevel.DISK_ONLY)
       .repartition(col(key))

@@ -111,7 +111,16 @@ object Dedup {
 
   private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     import graft.functions.PortableHash
-    val fps = sh.select(col("doc_id"), PortableHash.md5PackMod(col("shingle")).as("fp"))
+    // Work-sized parallelism raise for the signature aggregate (round 6):
+    // the md5-nibble fingerprint + numHashes universal-hash min columns
+    // cost ~numHashes expression evaluations per (doc, shingle) row, but
+    // the shingle leaf is typically 1-2 partitions locally (AQE coalesced
+    // it by bytes), so the 64-min aggregate ran near-single-task.
+    // widenIfNarrow raises parallelism to rows × numHashes work units only
+    // when the leaf under-splits — at scale the leaf is already parallel
+    // and the map-side partial aggregate stays (no added shuffle).
+    val fps = graft.core.IterCache.widenIfNarrow(sh, sh.count() * numHashes, "doc_id")
+      .select(col("doc_id"), PortableHash.md5PackMod(col("shingle")).as("fp"))
     val aggs = (0 until numHashes).map(i =>
       min(PortableHash.universal(i, col("fp"))).as(s"mh$i"))
     fps.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
@@ -322,8 +331,7 @@ object Dedup {
     val toks = docs.select(col("doc_id"), explode(TextStats.tokens).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    val vparts = graft.core.IterCache.adaptiveParts(docs.sparkSession, toks.count() * 60L)
-    val voted = toks.repartition(vparts, col("doc_id"))
+    val voted = graft.core.IterCache.widenIfNarrow(toks, toks.count() * 60L, "doc_id")
       .withColumn("h", PortableHash.md5Pack60(col("tok")))
     val votes = (0 until 60).map(j =>
       sum(when(shiftright(col("h"), j).bitwiseAND(1L) === 1L, col("cnt"))

@@ -129,9 +129,20 @@ object Similarity {
     * optimizer barrier so the signature projection can't be re-inlined.) */
   def rpSignatures(embeddings: DataFrame, numBits: Int = 16): DataFrame = {
     require(numBits > 0 && numBits <= 63, "packed long signature: 1..63 bits")
-    val ex = embeddings
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
-      .select(col("vec_id"), col("i0").cast("long").as("i0"), col("xf").cast("double").as("x"))
+    // Work-sized parallelism raise (round 6): the projection aggregate
+    // evaluates numBits plane components per exploded (vector, dim) row; a
+    // small parquet input is ONE scan split, so the whole aggregate ran
+    // single-task. widenIfNarrow repartitions by vec_id only when the scan
+    // under-splits relative to rows × numBits work units — at real scale
+    // the scan is already parallel and the map-side partial aggregate keeps
+    // the exchange at one row per vector (no added shuffle).
+    val (n, dim) = countAndDim(embeddings)
+    val ex = graft.core.IterCache.widenIfNarrow(
+      embeddings
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "xf")))
+        .select(col("vec_id"), col("i0").cast("long").as("i0"),
+          col("xf").cast("double").as("x")),
+      n * dim.toLong * numBits, "vec_id")
     val projAggs = (0 until numBits).map(j =>
       sum(col("x") * planeComponentCol(j, col("i0"))).as(s"proj$j"))
     val aggs = sqrt(sum(col("x") * col("x"))).as("nrm") +: projAggs
@@ -169,8 +180,17 @@ object Similarity {
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band", "bh")))
       .localCheckpoint(false)
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // bucket-histogram join sizing (round 6): the bucket self-join emits
+    // Σ_(band,bh) c·(c−1) rows while its INPUT is a few bytes per vector, so
+    // AQE (byte-based) under-partitions it — partition from the exact output
+    // size instead (same fix as Dedup.minhashLsh; one tiny aggregate)
+    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0)
+    val bd = banded.repartition(
+      graft.core.IterCache.adaptiveParts(embeddings.sparkSession, candRows),
+      col("band"), col("bh"))
+    val cand = bd.as("a")
+      .join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"))
@@ -441,8 +461,15 @@ object Similarity {
       iters: Int,
       quant: Double,
       kernelAssign: Boolean = false): DataFrame = {
-    // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round
-    val ex = quantExploded(embeddings, quant)
+    // quantized per-dim rows (vec_id, i0, xq) — reused every Lloyd round.
+    // Round 6: the declarative assignment's broadcast join multiplies the
+    // n·dim leaf by nlist rows INSIDE the probe stage, so an under-split
+    // local leaf ran the whole O(n·dim·nlist) distance aggregate in 1-2
+    // tasks; widenIfNarrow raises the leaf's parallelism to the work level
+    // (no-op when the input is already parallel — see its scaladoc).
+    val nVec = embeddings.count()
+    val ex = graft.core.IterCache.widenIfNarrow(
+      quantExploded(embeddings, quant), nVec * dim.toLong * nlist, "vec_id")
     // kernel path input: same quantization as `ex`, vector-per-row
     val qv = if (!kernelAssign) None else Some(quantVectors(embeddings, quant))
     var cent = initCentroids(embeddings, ex, nlist)
@@ -526,8 +553,14 @@ object Similarity {
         shiftright(col("rp_sig"), b * bandBits).bitwiseAND((1L << bandBits) - 1)): _*))
         .as(Seq("band", "bh")))
       .localCheckpoint(false) // self-joined twice, same rationale as annTopK
-    val cand = banded.as("a")
-      .join(banded.as("b"),
+    // bucket-histogram join sizing, same rationale as annTopKDim (round 6)
+    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val bd = banded.repartition(
+      graft.core.IterCache.adaptiveParts(embeddings.sparkSession, candRows),
+      col("band"), col("bh"))
+    val cand = bd.as("a")
+      .join(bd.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))

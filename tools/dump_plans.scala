@@ -1,6 +1,6 @@
 // Capture .explain("formatted") for named SparkEntry queries into
 // plans/r06/<query>_<suffix>.txt. Run with spark-shell against whatever
-// graft classes are on the classpath (pre-change classes → _before, post →
+// graft classes are on the classpath (pre-change classes -> _before, post ->
 // _after):
 //   GRAFT_PLAN_QUERIES=q_pagerank,q_cc GRAFT_PLAN_SUFFIX=before \
 //   /opt/spark/bin/spark-shell --master "local[8]" \
@@ -9,7 +9,7 @@
 //     --driver-class-path target/scala-2.13/classes \
 //     -i tools/dump_plans.scala
 // NOTE: iterative queries RUN their loop during DataFrame construction, so
-// use a small sfDir (default sf0.01) — the plan SHAPE is scale-independent
+// use a small sfDir (default sf0.01) - the plan SHAPE is scale-independent
 // except for the adaptive partition counts, which is exactly what the
 // before/after pair is meant to show.
 {

@@ -2,7 +2,7 @@
 // iterative algo) at a given scale factor, into
 // plans/r06/superstep_<suffix>.txt. Uses IterCache.byKeyAdaptive when the
 // classpath has it (post-change classes), else IterCache.byKey (pre-change):
-// the before/after pair shows the Exchange partition counts — the round-6
+// the before/after pair shows the Exchange partition counts - the round-6
 // scale-adaptive partitioning evidence.
 //   SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 GRAFT_PLAN_SUFFIX=before \
 //   SPARK_GRAFT_CPUS=32 /opt/spark/bin/spark-shell --master "local[32]" \
