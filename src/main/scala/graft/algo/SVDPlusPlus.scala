@@ -49,6 +49,15 @@ object SVDPlusPlus {
   private def dotArr(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** [[dotArr]] unrolled to whole-stage-codegen scalar arithmetic — SAME
+    * left-to-right association starting from 0.0 (bit-identical doubles),
+    * but evaluated compiled instead of via the interpreted higher-order
+    * `aggregate(zip_with(...))`, which costs ~µs/row on the 600k-row edge
+    * pass (round 6). */
+  private def dotFlat(a: Column, b: Column, rank: Int): Column =
+    (0 until rank).foldLeft(lit(0.0))((acc, i) =>
+      acc + element_at(a, i + 1) * element_at(b, i + 1))
+
   private def axpy(alpha: Column, x: Column, y: Column): Column =
     zip_with(x, y, (xi, yi) => alpha * xi + yi)
 
@@ -105,7 +114,9 @@ object SVDPlusPlus {
       .localCheckpoint(false)
 
     def predicted(pu2: Column, qi: Column, bu: Column, bi: Column): Column = {
-      val raw = lit(u) + bu + bi + dotArr(qi, pu2)
+      // codegen dot (same float sequence as dotArr — see dotFlat); evaluated
+      // once per edge row behind the `t` persist barrier
+      val raw = lit(u) + bu + bi + dotFlat(qi, pu2, conf.rank)
       least(greatest(raw, lit(conf.minVal)), lit(conf.maxVal))
     }
 
@@ -132,30 +143,40 @@ object SVDPlusPlus {
         .persist()
 
       val g2 = lit(conf.gamma2)
-      // ONE message row per (edge, endpoint): dp for both sides, db for both
-      // sides, dy only for the item side (null for users — the per-vid
-      // count(dyv)=0 below turns that back into a null ARRAY, preserving the
-      // "no y update for users" contract). All three gradients then reduce
-      // in a SINGLE posexplode + conditional-sum aggregate — one shuffle and
-      // one state join per iteration instead of three of each (the explode
-      // is the optimizer barrier keeping each interpreted zip_with evaluated
-      // once per row; see sumArrays).
-      val userRows = t.select(col("src").as("vid"),
-        zip_with(col("qi"), col("pu"),
-          (q, p) => g2 * (col("err") * q - lit(conf.gamma7) * p)).as("dp"),
-        (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bu"))).as("db"),
-        lit(null).cast("array<double>").as("dy"))
-      val itemRows = t.select(col("dst").as("vid"),
-        zip_with(col("p2"), col("qi"),
-          (p2, q) => g2 * (col("err") * p2 - lit(conf.gamma7) * q)).as("dp"),
-        (lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bi"))).as("db"),
-        zip_with(col("qi"), col("yi"),
-          (q, y) => g2 * (col("err") * col("nu") * q - lit(conf.gamma7) * y)).as("dy"))
+      // ONE message row per (edge, endpoint, dimension): explode the rank
+      // index FIRST and compute every gradient as SCALAR codegen arithmetic
+      // on the exploded row (round 6) — the previous form built dp/dy as
+      // interpreted zip_with ARRAYS per edge row and then exploded them,
+      // paying the interpreted-HOF tax (~µs per element) on 2·|E|·rank
+      // elements per iteration. Expression trees per element are IDENTICAL
+      // (g2·(err·q − γ7·p) etc., same association), so the SGD float
+      // sequence — and the q_svdpp oracle hash — is unchanged. dy stays
+      // item-side-only (null for users: the per-vid count(dyv)=0 below
+      // preserves the "no y update for users" contract), db is counted once
+      // per (edge, endpoint) via the pos=0 row.
+      val userRows = t
+        .select(col("src").as("vid"), col("err"), col("bu").as("bb"), col("pu"), col("qi"))
+        .select(col("vid"), col("err"), col("bb"), col("pu"),
+          posexplode(col("qi")).as(Seq("pos", "qv")))
+        .select(col("vid"), col("pos"),
+          (g2 * (col("err") * col("qv")
+            - lit(conf.gamma7) * element_at(col("pu"), col("pos") + 1))).as("dpv"),
+          when(col("pos") === 0,
+            lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bb"))).as("db0"),
+          lit(null).cast("double").as("dyv"))
+      val itemRows = t
+        .select(col("dst").as("vid"), col("err"), col("bi").as("bb"), col("nu"),
+          col("p2"), col("yi"), col("qi"))
+        .select(col("vid"), col("err"), col("bb"), col("nu"), col("p2"), col("yi"),
+          posexplode(col("qi")).as(Seq("pos", "qv")))
+        .select(col("vid"), col("pos"),
+          (g2 * (col("err") * element_at(col("p2"), col("pos") + 1)
+            - lit(conf.gamma7) * col("qv"))).as("dpv"),
+          when(col("pos") === 0,
+            lit(conf.gamma1) * (col("err") - lit(conf.gamma6) * col("bb"))).as("db0"),
+          (g2 * (col("err") * col("nu") * col("qv")
+            - lit(conf.gamma7) * element_at(col("yi"), col("pos") + 1))).as("dyv"))
       val exploded = userRows.unionByName(itemRows)
-        .select(col("vid"), col("db"), col("dy"), posexplode(col("dp")).as(Seq("pos", "dpv")))
-        .select(col("vid"), col("pos"), col("dpv"),
-          when(col("pos") === 0, col("db")).as("db0"), // db counted once per row
-          element_at(col("dy"), col("pos") + 1).as("dyv"))
       val grads = exploded.groupBy("vid").agg(
         array((0 until conf.rank).map(i => sum(when(col("pos") === i, col("dpv")))): _*).as("dp"),
         sum(col("db0")).as("db"),

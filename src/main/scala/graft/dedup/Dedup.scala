@@ -80,10 +80,17 @@ object Dedup {
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).as("inter"))
       case Some(tau) =>
-        val rare = sh.join(
-          sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-            .where(col("df") <= tau).select("shingle"),
-          Seq("shingle"), "left_semi")
+        // candidate-join output is Σ_{df(s)≤τ} df·(df−1)/2 — exactly
+        // computable from the df histogram; partition for it (same AQE
+        // byte-blindness fix as the exact branch)
+        val dfs = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .where(col("df") <= tau)
+          .localCheckpoint(false) // referenced by sizing + semi-join
+        val candRows = dfs.agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L)))
+          .head().getLong(0) / 2L
+        val rare = sh.join(dfs.select("shingle"), Seq("shingle"), "left_semi")
+          .repartition(graft.core.IterCache.adaptiveParts(sh.sparkSession, candRows),
+            col("shingle"))
         val candidates = rare.as("a")
           .join(rare.as("b"),
             col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -121,11 +121,16 @@ object LinkGraph {
     // waste, guide §3.1)
     val nPairs = agg.count()
     val dictParts = graft.core.IterCache.adaptiveParts(pairs.sparkSession, 2L * nPairs)
-    val dictHint = if (2L * nPairs <= 1000000L) "broadcast" else "shuffle_hash"
     val keys = agg.select(col("akey").as("key")).union(agg.select(col("bkey").as("key")))
     val vertices = Dictionary.encode(keys, dictParts)
       .withColumn("kind", substring_index(col("key"), ":", 1))
     val dict = vertices.select("vid", "key")
+    // hint from the EXACT distinct-key count (the dictionary leaf needs a
+    // materializing action anyway): 2·nPairs over-counts keys by the mean
+    // key multiplicity (3.5× on the customer–supplier graph) and wrongly
+    // forced shuffle_hash where a 165k-key dict is broadcast-sized —
+    // measured +1.5 s on q_pagerank_cs in the round-6 mid bench
+    val dictHint = if (vertices.count() <= 1000000L) "broadcast" else "shuffle_hash"
     val edges = agg
       .join(dict.hint(dictHint).as("va"), col("akey") === col("va.key"))
       .withColumnRenamed("vid", "src").drop("key")

@@ -47,7 +47,18 @@ object Similarity {
   private def countAndDim(embeddings: DataFrame): (Long, Int) =
     (embeddings.count(), embDim(embeddings))
 
-  /** (vec_id, nrm, x0..x{dim-1}): flattened unit of all similarity plans. */
+  /** (vec_id, nrm, x0..x{dim-1}): flattened unit of all similarity plans.
+    *
+    * The nrm column stays the INTERPRETED `aggregate(zip_with(...))` form
+    * DELIBERATELY (round-6 measured-negative): unrolling it to a 64-term
+    * codegen Add chain (like the pair dot below) tripled the size of the
+    * inlined cosine expression, and Catalyst's constraint propagation
+    * (`getAllValidConstraints` → per-substitution re-canonicalization of
+    * commutative Add chains) went from seconds to MINUTES of driver spin on
+    * the similarity plans — the per-row interpreted cost (one call per
+    * vector, not per pair) is far cheaper than the planning blowup. The
+    * per-PAIR dot stays flat codegen (it is an optimizer-opaque column
+    * reference by the time the pair plans see it). */
   private def flat(embeddings: DataFrame, dim: Int): DataFrame =
     embeddings.select(
       col("vec_id") +:

@@ -108,10 +108,16 @@ object TranscriptStream {
               cur = cur match {
                 case Some(s) if t.ts_us - s.lastUs <= gapUs =>
                   // min/max bounds keep the merge correct when a batch
-                  // boundary delivers an in-gap turn out of event-time order
+                  // boundary delivers an in-gap turn out of event-time order.
+                  // Dedup tools ON INSERT (round 6): only the DISTINCT count
+                  // is read at close, and appending every occurrence grew
+                  // open-session state linearly with session length — the
+                  // distinct set bounds it by the tool alphabet (guide §5:
+                  // what tasks hold in memory), emitted rows identical.
                   Some(s.copy(startUs = math.min(s.startUs, t.ts_us),
                     lastUs = math.max(s.lastUs, t.ts_us), nTurns = s.nTurns + 1,
-                    tools = s.tools ++ toolSeq))
+                    tools = toolSeq.foldLeft(s.tools)((acc, x) =>
+                      if (acc.contains(x)) acc else acc :+ x)))
                 case Some(s) =>
                   closed += close(s)
                   Some(SessionAgg(s.sessionIdx + 1, t.ts_us, t.ts_us, 1L, toolSeq))
