@@ -30,16 +30,29 @@ object IterCache {
     * partitions"). */
   private val targetRowsPerPartition = 430000L
 
+  /** Minimum rows per task for the core-fill term of [[adaptiveParts]]:
+    * below this, a task's work (~10 ms) no longer amortizes its scheduling
+    * overhead, so engaging more cores stops paying (measured: kilo-row
+    * fixture loops are fastest at 1 partition, while a 1.18M-row graph at 3
+    * partitions left an idle 32-core box 0.7 s slower than at 30 — the fill
+    * term covers exactly that middle regime). */
+  private val minRowsPerTask = 40000L
+
   /** Scale-adaptive partition count for a superstep loop over `rows` rows:
-    * ceil(rows / target) clamped to [1, 8 × defaultParallelism]. Derived from
-    * the DATA, not from the local core constant, so the same code picks 1 on
-    * a laptop fixture and hundreds on a cluster-sized graph (guide §2:
-    * "make partitioning scale-adaptive ... rather than a constant tuned for
-    * either local mode or the cluster"). */
+    * max(ceil(rows/430k), enough-to-fill-the-cores while tasks keep ≥40k
+    * rows), clamped to [1, 8 × defaultParallelism]. Derived from the DATA,
+    * not from the local core constant, so the same code picks 1 on a laptop
+    * fixture and hundreds on a cluster-sized graph (guide §2: "make
+    * partitioning scale-adaptive ... rather than a constant tuned for either
+    * local mode or the cluster"). Anchored to every measured optimum:
+    * 13.7M-edge headline → 32 at local[32] (both terms agree), 337M → 256
+    * (=8/core, BASELINE §d), kilo-row fixtures → 1. */
   def adaptiveParts(spark: org.apache.spark.sql.SparkSession, rows: Long): Int = {
-    val cap = math.max(1, spark.sparkContext.defaultParallelism).toLong * 8L
-    val want = (math.max(0L, rows) + targetRowsPerPartition - 1) / targetRowsPerPartition
-    math.max(1L, math.min(cap, want)).toInt
+    val cores = math.max(1, spark.sparkContext.defaultParallelism).toLong
+    val r = math.max(0L, rows)
+    val byThroughput = (r + targetRowsPerPartition - 1) / targetRowsPerPartition
+    val fill = math.min(cores, (r + minRowsPerTask - 1) / minRowsPerTask)
+    math.max(1L, math.min(cores * 8L, math.max(byThroughput, fill))).toInt
   }
 
   /** Run `body` with loop-shaped session settings: shuffle partitions =

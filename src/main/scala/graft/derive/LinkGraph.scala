@@ -114,22 +114,18 @@ object LinkGraph {
     // ×2, edge build) would otherwise re-run the upstream join+aggregate
     val agg = pairs.groupBy("akey", "bkey").agg(count(lit(1)).as("weight"))
       .localCheckpoint(false)
-    // same sizing pattern as fromTranscripts: one count on the leaf sizes
-    // the dictionary's range partitioning and picks the dict-join strategy
-    // (both leaves are RDD-backed with no Catalyst stats, so the planner
-    // alone would fall back to sort-merge — sorting the edge side is pure
-    // waste, guide §3.1)
-    val nPairs = agg.count()
-    val dictParts = graft.core.IterCache.adaptiveParts(pairs.sparkSession, 2L * nPairs)
     val keys = agg.select(col("akey").as("key")).union(agg.select(col("bkey").as("key")))
-    val vertices = Dictionary.encode(keys, dictParts)
+    val vertices = Dictionary.encode(keys)
       .withColumn("kind", substring_index(col("key"), ":", 1))
     val dict = vertices.select("vid", "key")
-    // hint from the EXACT distinct-key count (the dictionary leaf needs a
-    // materializing action anyway): 2·nPairs over-counts keys by the mean
-    // key multiplicity (3.5× on the customer–supplier graph) and wrongly
-    // forced shuffle_hash where a 165k-key dict is broadcast-sized —
-    // measured +1.5 s on q_pagerank_cs in the round-6 mid bench
+    // ONE sizing action: the exact distinct-key count (doubles as the
+    // dictionary leaf's materializing action) picks the dict-join strategy —
+    // both leaves are RDD-backed with no Catalyst stats, so the planner
+    // alone falls back to sort-merge, sorting the edge side (guide §3.1).
+    // A 2·nPairs proxy was measured wrong here: it over-counts keys by the
+    // mean key multiplicity (3.5× on the customer–supplier graph) and
+    // forced shuffle_hash on a broadcast-sized 165k-key dict (+1.5 s on
+    // q_pagerank_cs, round-6 mid bench).
     val dictHint = if (vertices.count() <= 1000000L) "broadcast" else "shuffle_hash"
     val edges = agg
       .join(dict.hint(dictHint).as("va"), col("akey") === col("va.key"))
