@@ -112,6 +112,16 @@ object SVDPlusPlus {
       (col("meanr") - u).as("bias"),
       (lit(1.0) / sqrt(col("deg"))).as("norm"))
       .localCheckpoint(false)
+    // Round 6: the six edge⋈state joins below re-shuffled the WIDE edge
+    // side (600k rows × three rank-arrays ≈ 180 MB) once per join per
+    // iteration under the blanket shuffle_hash hint, while the vertex state
+    // is rating-vertex-sized. Pick broadcast when the MEASURED state row
+    // count is broadcast-safe (≤10⁶ rows ≈ tens of MB — same guarded
+    // cutover as the LinkGraph dict joins; v is a leaf, the count doubles
+    // as its materializing action), else keep shuffle_hash (never sort the
+    // edge side). With broadcast the edge cache is probed in place —
+    // zero edge shuffles per SGD iteration.
+    val stateHint = if (v.count() <= 1000000L) "broadcast" else "shuffle_hash"
 
     def predicted(pu2: Column, qi: Column, bu: Column, bi: Column): Column = {
       // codegen dot (same float sequence as dotArr — see dotFlat); evaluated
@@ -124,7 +134,7 @@ object SVDPlusPlus {
       // Phase 1 (reference sumY, SVDPlusPlus.scala:116-149): each user's
       // implicit profile p2 = p + norm * Σ_{j∈N(u)} y_j
       val sumY = sumArrays(
-        e.join(v.select(col("vid").as("dst"), col("y")).hint("shuffle_hash"), "dst")
+        e.join(v.select(col("vid").as("dst"), col("y")).hint(stateHint), "dst")
           .select(col("src").as("vid"), col("y").as("arr")),
         conf.rank)
       val users = v.join(sumY, Seq("vid"), "left")
@@ -136,9 +146,9 @@ object SVDPlusPlus {
       // SVDPlusPlus.scala:40-86,153-171): per-edge gradients, merged per vertex
       val t = e
         .join(users.select(col("vid").as("src"), col("p").as("pu"), col("p2"),
-          col("bias").as("bu"), col("norm").as("nu")).hint("shuffle_hash"), "src")
+          col("bias").as("bu"), col("norm").as("nu")).hint(stateHint), "src")
         .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("y").as("yi"),
-          col("bias").as("bi")).hint("shuffle_hash"), "dst")
+          col("bias").as("bi")).hint(stateHint), "dst")
         .withColumn("err", col("rating") - predicted(col("p2"), col("qi"), col("bu"), col("bi")))
         .persist()
 
@@ -199,7 +209,7 @@ object SVDPlusPlus {
 
     // final error pass (reference testF, SVDPlusPlus.scala:89-112,175-180)
     val sumY = sumArrays(
-      e.join(v.select(col("vid").as("dst"), col("y")).hint("shuffle_hash"), "dst")
+      e.join(v.select(col("vid").as("dst"), col("y")).hint(stateHint), "dst")
         .select(col("src").as("vid"), col("y").as("arr")), conf.rank)
     val users = v.join(sumY, Seq("vid"), "left")
       .select(col("vid"),
@@ -207,8 +217,8 @@ object SVDPlusPlus {
           .otherwise(axpy(col("norm"), col("arr"), col("p"))).as("p2"),
         col("bias"))
     val sqErr = e
-      .join(users.select(col("vid").as("src"), col("p2"), col("bias").as("bu")).hint("shuffle_hash"), "src")
-      .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("bias").as("bi")).hint("shuffle_hash"), "dst")
+      .join(users.select(col("vid").as("src"), col("p2"), col("bias").as("bu")).hint(stateHint), "src")
+      .join(v.select(col("vid").as("dst"), col("p").as("qi"), col("bias").as("bi")).hint(stateHint), "dst")
       .select(pow(col("rating") - predicted(col("p2"), col("qi"), col("bu"), col("bi")), 2).as("se"))
       .agg(sum("se")).head().getDouble(0)
     val n = e.count()
