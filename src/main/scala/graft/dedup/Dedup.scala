@@ -116,7 +116,8 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame =
     signaturesFromShingles(shingles(docs, n), numHashes)
 
-  private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+  private def signaturesFromShingles(
+      sh: DataFrame, numHashes: Int, knownShRows: Option[Long] = None): DataFrame = {
     import graft.functions.PortableHash
     // Work-sized parallelism raise for the signature aggregate (round 6):
     // the md5-nibble fingerprint + numHashes universal-hash min columns
@@ -126,7 +127,9 @@ object Dedup {
     // widenIfNarrow raises parallelism to rows × numHashes work units only
     // when the leaf under-splits — at scale the leaf is already parallel
     // and the map-side partial aggregate stays (no added shuffle).
-    val fps = graft.core.IterCache.widenIfNarrow(sh, sh.count() * numHashes, "doc_id")
+    // `knownShRows` lets minhashLsh share ONE count of the leaf.
+    val shRows = knownShRows.getOrElse(sh.count())
+    val fps = graft.core.IterCache.widenIfNarrow(sh, shRows * numHashes, "doc_id")
       .select(col("doc_id"), PortableHash.md5PackMod(col("shingle")).as("fp"))
     val aggs = (0 until numHashes).map(i =>
       min(PortableHash.universal(i, col("fp"))).as(s"mh$i"))
@@ -143,13 +146,29 @@ object Dedup {
     * while its inputs are KB-scale, so AQE alone runs it in 1-2 tasks
     * (round 6). Shared by [[minhashLsh]] and the df-capped [[ngramJaccard]].
     */
-  private def exactInter(candidates0: DataFrame, sh: DataFrame, sizes: DataFrame): DataFrame = {
-    val candidates = candidates0.localCheckpoint(false)
-    val interRows = candidates
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh")), "doc_a")
-      .agg(coalesce(sum(col("n_sh")), lit(0L))).head().getLong(0)
+  private def exactInter(
+      candidates0: DataFrame,
+      sh: DataFrame,
+      sizes: DataFrame,
+      interRowsEst: Option[Long] = None): DataFrame = {
+    // With a caller-supplied estimate (already derivable from its bucket
+    // histogram + shingle count) this costs ZERO extra actions — a lazy
+    // repartition only; the exact-count path (leaf + one candidates⋈sizes
+    // aggregate) remains for callers without one. The estimate-free path
+    // measured +0.9 s of pure sizing overhead on a corpus whose candidate
+    // set is 25 pairs (round 6).
+    val (candidates, interRows) = interRowsEst match {
+      case Some(est) => (candidates0, est)
+      case None =>
+        val leaf = candidates0.localCheckpoint(false)
+        val n = leaf
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh")), "doc_a")
+          .agg(coalesce(sum(col("n_sh")), lit(0L))).head().getLong(0)
+        (leaf, n)
+    }
     val cparts = graft.core.IterCache.adaptiveParts(sh.sparkSession, interRows)
-    candidates.repartition(cparts, col("doc_a"))
+    val cand = if (cparts <= 1) candidates else candidates.repartition(cparts, col("doc_a"))
+    cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("s2")), "doc_b")
       .where(col("shingle") === col("s2"))
@@ -182,7 +201,8 @@ object Dedup {
     // self-join references it twice (each side would re-run the 64-min
     // aggregate)
     val sh = shingles(docs, n).localCheckpoint(false)
-    val sig = signaturesFromShingles(sh, numHashes)
+    val shRows = sh.count() // ONE sizing count of the leaf, shared below
+    val sig = signaturesFromShingles(sh, numHashes, Some(shRows))
     val banded = sig.select(col("doc_id"),
       posexplode(array((0 until bands).map(b => bandHash(b, rows)): _*))
         .as(Seq("band", "bh")))
@@ -191,10 +211,15 @@ object Dedup {
     // output is Σ_{(band,bh)} c·(c−1)/2 rows — template-heavy corpora put
     // hundreds of near-identical docs in one bucket, and AQE (sizing by the
     // KB-scale banded table) runs the whole candidate join in 1-2 tasks.
-    // The output size is exact from the bucket histogram (one tiny
-    // aggregate over the leaf); partition the join side from it.
-    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    // ONE tiny histogram aggregate over the leaf gives the exact candidate
+    // row count AND the doc count; everything downstream (the bucket join
+    // partitioning AND the verify-join partitioning via the candRows ×
+    // avg-shingles estimate) is sized from it with zero further actions.
+    val hist = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L)).as("p2"),
+        coalesce(sum(col("c")), lit(0L)).as("rows")).head()
+    val candRows = hist.getLong(0) / 2L
+    val nDocs = math.max(1L, hist.getLong(1) / bands)
     val bparts = graft.core.IterCache.adaptiveParts(docs.sparkSession, candRows)
     val bd = banded.repartition(bparts, col("band"), col("bh"))
     val candidates = bd.as("a")
@@ -205,7 +230,8 @@ object Dedup {
       .distinct()
     // verify candidates with exact Jaccard (join back to shingles)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = exactInter(candidates, sh, sizes)
+    val inter = exactInter(candidates, sh, sizes,
+      interRowsEst = Some(candRows * (shRows / nDocs + 1L)))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
