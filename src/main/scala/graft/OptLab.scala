@@ -6,15 +6,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
 
 /** Round-6 optimization lab: run named SparkEntry queries like QueryLab but
   * with a SparkListener that attributes wall-clock to individual Spark jobs
-  * and stages (count, task totals, per-job ms) — the sandbox stand-in for
-  * the Spark UI's job/stage pages (guide §1/§7: measure and attribute before
-  * changing anything). Usage:
+  * (per-job ms; still-running jobs marked, excluded from the sum) and
+  * prints every ≥200 ms stage with its task count — the sandbox stand-in
+  * for the Spark UI's job/stage pages (guide §1/§7: measure and attribute
+  * before changing anything). Usage:
   *   runMain graft.OptLab q_ann_ivf[,q_x...] [sfDir] [reps]
   */
 object OptLab {
 
-  private final case class JobRow(id: Int, start: Long, var endMs: Long = -1,
-      var stages: Int = 0, var tasks: Int = 0, desc: String)
+  private final case class JobRow(id: Int, start: Long, var endMs: Long = -1, desc: String)
 
   def main(args: Array[String]): Unit = {
     val names = args.headOption.getOrElse("q_ann_ivf").split(",").toSeq
@@ -58,10 +58,13 @@ object OptLab {
       Thread.sleep(300)
       import scala.jdk.CollectionConverters._
       val rows = jobs.values.asScala.toSeq.sortBy(_.id)
-      val totalJobMs = rows.map(r => math.max(0L, r.endMs)).sum
-      println(f"OPTLAB $name rep=$rep rows=$n sec=$sec%.3f jobs=${rows.size} job_ms_sum=$totalJobMs")
+      val unfinished = rows.count(_.endMs < 0)
+      val totalJobMs = rows.filter(_.endMs >= 0).map(_.endMs).sum
+      println(f"OPTLAB $name rep=$rep rows=$n sec=$sec%.3f jobs=${rows.size} " +
+        f"job_ms_sum=$totalJobMs unfinished=$unfinished")
       rows.foreach { r =>
-        println(f"OPTLAB   job=${r.id}%4d ms=${r.endMs}%6d ${r.desc.take(80)}")
+        val ms = if (r.endMs < 0) "  (run)" else f"${r.endMs}%7d"
+        println(f"OPTLAB   job=${r.id}%4d ms=$ms ${r.desc.take(80)}")
       }
     }
     spark.stop()

@@ -61,8 +61,8 @@ object LinkPrediction {
     // the whole enumeration in 1-2 tasks. One degree-histogram aggregate
     // gives the exact output size; partition the (ReusedExchange-shared)
     // join side from it.
-    val wedgeRows = centers.groupBy("src").agg(count(lit(1)).as("d"))
-      .agg(coalesce(sum(col("d") * (col("d") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val wedgeRows = graft.core.IterCache.selfJoinOutputRows(
+      centers, Seq("src"), ordered = true)
     val cs = centers.repartition(
       graft.core.IterCache.adaptiveParts(s.sparkSession, wedgeRows), col("src"))
     cs.as("x").join(cs.as("y"),

@@ -213,7 +213,11 @@ object RandomWalks {
     // step-loop conf; the per-(src, kind) degrees come from the cached
     // index (identical rows) instead of a second symK pass + second cache
     val nIdx = idx.count()
+    // leaf: every walk step probes degK — without it the per-(src, kind)
+    // aggregate over the FULL cached index would re-run once per step
+    // (round-6 review finding; the leaf materializes it once)
     val degK = idx.groupBy("src", "kind").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
     graft.core.IterCache.withAdaptiveConf(edges.sparkSession, nIdx) {
     val starts = vertices.where(col("kind") === metaPath.head)
       .select(col("vid").as("walk_id"), col("vid").as("cur"), array(col("vid")).as("path"),

@@ -115,13 +115,17 @@ object SVDPlusPlus {
     // Round 6: the six edge⋈state joins below re-shuffled the WIDE edge
     // side (600k rows × three rank-arrays ≈ 180 MB) once per join per
     // iteration under the blanket shuffle_hash hint, while the vertex state
-    // is rating-vertex-sized. Pick broadcast when the MEASURED state row
-    // count is broadcast-safe (≤10⁶ rows ≈ tens of MB — same guarded
-    // cutover as the LinkGraph dict joins; v is a leaf, the count doubles
-    // as its materializing action), else keep shuffle_hash (never sort the
-    // edge side). With broadcast the edge cache is probed in place —
-    // zero edge shuffles per SGD iteration.
-    val stateHint = if (v.count() <= 1000000L) "broadcast" else "shuffle_hash"
+    // is rating-vertex-sized. Pick broadcast when the MEASURED state SIZE
+    // is broadcast-safe, else keep shuffle_hash (never sort the edge side).
+    // The cutover is in BYTES, not rows: a state row carries two or three
+    // rank-length double arrays (~16·rank+64 B), so a row-count cutover à
+    // la the (vid, key)-shaped dict joins would admit multi-hundred-MB
+    // broadcasts rebuilt per join per iteration. 64 MB keeps the build
+    // cheap at every rank. v is a leaf; the count doubles as its
+    // materializing action. With broadcast the edge cache is probed in
+    // place — zero edge shuffles per SGD iteration.
+    val stateBytesEst = v.count() * (16L * conf.rank + 64L)
+    val stateHint = if (stateBytesEst <= (64L << 20)) "broadcast" else "shuffle_hash"
 
     def predicted(pu2: Column, qi: Column, bu: Column, bi: Column): Column = {
       // codegen dot (same float sequence as dotArr — see dotFlat); evaluated

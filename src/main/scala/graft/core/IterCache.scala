@@ -82,10 +82,31 @@ object IterCache {
     * adding a table-sized exchange where the scan is already parallel (at
     * real scale the input has thousands of splits and the map-side partial
     * aggregate must keep finishing groups before any exchange — shuffling
-    * the pre-aggregate rows there would cost dim× the bytes). */
+    * the pre-aggregate rows there would cost dim× the bytes).
+    *
+    * CONTRACT: `df` must be a checkpoint leaf or a shuffle-free plan
+    * (scan/project/generate only). The parallelism probe reads
+    * `df.rdd.getNumPartitions`, and under AQE accessing `.rdd` of a plan
+    * with upstream exchanges EXECUTES those shuffle stages just to finalize
+    * the plan — silent double execution. Every current caller passes a leaf
+    * or a pure scan pipeline. */
   def widenIfNarrow(df: DataFrame, workUnits: Long, key: String): DataFrame = {
     val parts = adaptiveParts(df.sparkSession, workUnits)
     if (df.rdd.getNumPartitions >= parts) df else df.repartition(parts, col(key))
+  }
+
+  /** Exact output row count of an equi-self-join of `df` on `keys` with an
+    * ordered (`a < b`, count/2) or unordered (`a =!= b`) pair condition:
+    * Σ_k c(k)·(c(k)−1) over the key histogram — ONE tiny aggregate. This is
+    * the sizing number AQE cannot see (it partitions by shuffle BYTES, and
+    * a bucket/shingle/wedge self-join's output is orders of magnitude
+    * larger than its input); feed it to [[adaptiveParts]] and repartition
+    * the join input explicitly (shared by the dedup/LSH/wedge joins). */
+  def selfJoinOutputRows(df: DataFrame, keys: Seq[String], ordered: Boolean): Long = {
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val pairs2 = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0)
+    if (ordered) pairs2 / 2L else pairs2
   }
 
   def byKey(df: DataFrame, key: String): DataFrame =

@@ -70,8 +70,8 @@ object Dedup {
         // and an explicit repartition AQE will not coalesce away. Both join
         // sides are the same exchange (ReusedExchange), and the pair
         // partial-agg now runs in the parallel join stage.
-        val pairRows = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .agg(coalesce(sum(col("df") * (col("df") - 1L)), lit(0L))).head().getLong(0) / 2L
+        val pairRows = graft.core.IterCache.selfJoinOutputRows(
+          sh, Seq("shingle"), ordered = true)
         val parts = graft.core.IterCache.adaptiveParts(sh.sparkSession, pairRows)
         val a = sh.repartition(parts, col("shingle"))
         a.as("a")
@@ -114,7 +114,10 @@ object Dedup {
     * columns — no per-hash row explosion (the previous posexplode form
     * shuffled 64× the shingle count). */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 64): DataFrame =
-    signaturesFromShingles(shingles(docs, n), numHashes)
+    // leaf: signaturesFromShingles sizes (count) and widens its input —
+    // without a leaf the tokenize+explode+distinct pipeline would run
+    // 2-3× on this standalone path (round-6 review finding)
+    signaturesFromShingles(shingles(docs, n).localCheckpoint(false), numHashes)
 
   private def signaturesFromShingles(
       sh: DataFrame, numHashes: Int, knownShRows: Option[Long] = None): DataFrame = {
@@ -230,8 +233,14 @@ object Dedup {
       .distinct()
     // verify candidates with exact Jaccard (join back to shingles)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    // candRows counts a pair once PER colliding band (up to bands×); cap by
+    // the distinct-pair bound so the verify join is not over-partitioned on
+    // corpora where near-identical docs collide in most bands (round-6
+    // review finding)
+    val distinctCap =
+      if (nDocs < Int.MaxValue.toLong) nDocs * (nDocs - 1L) / 2L else Long.MaxValue
     val inter = exactInter(candidates, sh, sizes,
-      interRowsEst = Some(candRows * (shRows / nDocs + 1L)))
+      interRowsEst = Some(math.min(candRows, distinctCap) * (shRows / nDocs + 1L)))
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
@@ -387,8 +396,8 @@ object Dedup {
         shiftright(col("simhash"), b * 15).bitwiseAND(0x7fffL)): _*)).as(Seq("band", "bh")))
       .localCheckpoint(false)
     // bucket-histogram join sizing, same rationale as minhashLsh (round 6)
-    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val candRows = graft.core.IterCache.selfJoinOutputRows(
+      banded, Seq("band", "bh"), ordered = true)
     val bd = banded.repartition(
       graft.core.IterCache.adaptiveParts(docs.sparkSession, candRows), col("band"), col("bh"))
     bd.as("a")

@@ -195,8 +195,8 @@ object Similarity {
     // Σ_(band,bh) c·(c−1) rows while its INPUT is a few bytes per vector, so
     // AQE (byte-based) under-partitions it — partition from the exact output
     // size instead (same fix as Dedup.minhashLsh; one tiny aggregate)
-    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0)
+    val candRows = graft.core.IterCache.selfJoinOutputRows(
+      banded, Seq("band", "bh"), ordered = false)
     val bd = banded.repartition(
       graft.core.IterCache.adaptiveParts(embeddings.sparkSession, candRows),
       col("band"), col("bh"))
@@ -565,8 +565,8 @@ object Similarity {
         .as(Seq("band", "bh")))
       .localCheckpoint(false) // self-joined twice, same rationale as annTopK
     // bucket-histogram join sizing, same rationale as annTopKDim (round 6)
-    val candRows = banded.groupBy("band", "bh").agg(count(lit(1)).as("c"))
-      .agg(coalesce(sum(col("c") * (col("c") - 1L)), lit(0L))).head().getLong(0) / 2L
+    val candRows = graft.core.IterCache.selfJoinOutputRows(
+      banded, Seq("band", "bh"), ordered = true)
     val bd = banded.repartition(
       graft.core.IterCache.adaptiveParts(embeddings.sparkSession, candRows),
       col("band"), col("bh"))
